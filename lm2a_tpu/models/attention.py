@@ -1,0 +1,85 @@
+"""Cross-attention condition fusion.
+
+Functional parity with ``/root/reference/models/cross_attention.py:9-67``:
+mel hidden states attend separately over projected motion and lyric features
+(Q = mel, K/V = condition), the two attention outputs are concatenated and
+linearly fused back to the mel width.
+
+``MultiheadAttention`` reproduces torch ``nn.MultiheadAttention`` semantics
+(joint q/k/v projections with bias, per-head scaling 1/sqrt(E/h), output
+projection) but with explicit Dense modules so torch checkpoints convert by
+splitting ``in_proj_weight`` — no packed-weight gymnastics. Attention is a
+pair of einsums that XLA maps straight onto the MXU; at the reference's
+T=516 / C<=1024 a flash-style Pallas kernel is unnecessary (the full score
+matrix fits comfortably in VMEM), so we keep the fusable XLA form.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class MultiheadAttention(nn.Module):
+    """Batched multi-head attention over (B, T, E) with (B, S, E) keys."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        e, h = self.embed_dim, self.num_heads
+        if e % h:
+            raise ValueError(f"embed_dim {e} not divisible by heads {h}")
+        hd = e // h
+        q = nn.Dense(e, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(e, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(e, dtype=self.dtype, name="v_proj")(value)
+
+        def split(x):  # (B, T, E) -> (B, h, T, hd)
+            return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, dtype=q.dtype)
+        )
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], -1, e)
+        return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
+
+
+class CrossAttentionFusion(nn.Module):
+    """Fuse mel hidden states with motion and lyric conditions.
+
+    ``mel_hidden (B,T,C)``; ``motion_f``/``text_f (B,T,cond_dim)`` are first
+    projected to C so K/V width matches Q, then each branch cross-attends and
+    the concatenated results are fused by a Dense(2C -> C).
+    """
+
+    mel_dim: int
+    cond_dim: int = 128
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel_hidden, motion_f, text_f):
+        motion_kv = nn.Dense(self.mel_dim, dtype=self.dtype, name="motion_kv_proj")(
+            motion_f.astype(self.dtype)
+        )
+        text_kv = nn.Dense(self.mel_dim, dtype=self.dtype, name="text_kv_proj")(
+            text_f.astype(self.dtype)
+        )
+        attn_motion = MultiheadAttention(
+            self.mel_dim, self.num_heads, dtype=self.dtype, name="attn_motion"
+        )(mel_hidden, motion_kv, motion_kv)
+        attn_text = MultiheadAttention(
+            self.mel_dim, self.num_heads, dtype=self.dtype, name="attn_text"
+        )(mel_hidden, text_kv, text_kv)
+        fused = jnp.concatenate([attn_motion, attn_text], axis=-1)
+        return nn.Dense(self.mel_dim, dtype=self.dtype, name="fuse_proj")(fused)

@@ -1,0 +1,289 @@
+"""1-D UNet denoisers, channels-last (B, T, C).
+
+Two architectures, selected by ``ModelConfig.arch``:
+
+- ``UNet1DUltimate`` — the production denoiser. Parity target:
+  ``/root/reference/models/unet1d_ultimate.py:273-426``. FiLM timestep
+  modulation, sparse cross-attention (last block of each down stage, first
+  block of each up stage, every mid block), stride-2 conv downsampling,
+  linear-interpolation (align-corners) + conv upsampling, GroupNorm+SiLU+1x1
+  output head.
+- ``UNet1D`` — the v1 baseline the reference keeps but comments out of its
+  entry points (``/root/reference/models/unet1d.py:15-154``): additive
+  timestep projection, cross-attention in every residual block, transposed-
+  conv upsampling, asymmetric up-path channel growth. Here it is a config
+  flag, not a dead import.
+
+TPU notes: channels-last convs lower to MXU-tiled ``conv_general_dilated``
+(NHC/HIO); the mel-bin axis (80 -> base_dim multiples) rides the 128-lane
+dimension. All control flow is static; the whole forward is one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lm2a_tpu.models.attention import CrossAttentionFusion
+from lm2a_tpu.models.embedding import TimestepEmbedding
+
+Dtype = Any
+
+
+def default_num_groups(channels: int) -> int:
+    """Largest of (8, 4, 2, 1) dividing ``channels``."""
+    for g in (8, 4, 2, 1):
+        if channels % g == 0:
+            return g
+    return 1
+
+
+def _group_norm(channels: int, dtype, name: str):
+    # torch GroupNorm uses eps=1e-5 (flax default is 1e-6) — keep parity.
+    return nn.GroupNorm(
+        num_groups=default_num_groups(channels), epsilon=1e-5, dtype=dtype, name=name
+    )
+
+
+def upsample_linear_2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, C) -> (B, 2T, C) linear interpolation with align_corners=True.
+
+    Output sample i sits at input position ``i * (T-1) / (2T-1)`` — matching
+    ``F.interpolate(mode='linear', align_corners=True)``. One gather + lerp.
+    """
+    T = x.shape[1]
+    out_t = 2 * T
+    pos = jnp.arange(out_t, dtype=jnp.float32) * ((T - 1) / (out_t - 1))
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 1)
+    hi = jnp.clip(lo + 1, 0, T - 1)
+    frac = (pos - lo.astype(jnp.float32)).astype(x.dtype)[None, :, None]
+    return x[:, lo, :] * (1.0 - frac) + x[:, hi, :] * frac
+
+
+def _fix_time_len(h: jnp.ndarray, target_t: int) -> jnp.ndarray:
+    """Zero-pad or truncate the time axis to ``target_t`` (static shapes)."""
+    t = h.shape[1]
+    if t == target_t:
+        return h
+    if t < target_t:
+        return jnp.pad(h, ((0, 0), (0, target_t - t), (0, 0)))
+    return h[:, :target_t, :]
+
+
+class FiLM(nn.Module):
+    """SiLU -> Dense(2C) producing per-channel (scale, shift) from t_emb."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        stats = nn.Dense(2 * self.out_channels, dtype=self.dtype, name="to_scale_shift")(
+            nn.silu(t_emb)
+        )
+        scale, shift = jnp.split(stats, 2, axis=-1)
+        return scale[:, None, :], shift[:, None, :]  # broadcast over time
+
+
+class ResBlockUltimate(nn.Module):
+    """GN-SiLU-conv3 -> FiLM -> GN-SiLU-conv3 -> dropout -> [cross-attn] + skip."""
+
+    out_channels: int
+    cond_dim: int = 128
+    use_attn: bool = False
+    num_heads: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb, motion_f=None, text_f=None, *, deterministic=True):
+        in_ch = x.shape[-1]
+        h = _group_norm(in_ch, self.dtype, "gn1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype, name="conv1")(h)
+
+        if t_emb is not None:
+            scale, shift = FiLM(self.out_channels, dtype=self.dtype, name="film")(t_emb)
+            h = h * (1.0 + scale) + shift
+
+        h = _group_norm(self.out_channels, self.dtype, "gn2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        if self.use_attn and motion_f is not None and text_f is not None:
+            h = CrossAttentionFusion(
+                mel_dim=self.out_channels,
+                cond_dim=self.cond_dim,
+                num_heads=self.num_heads,
+                dtype=self.dtype,
+                name="cross_attn",
+            )(h, motion_f, text_f)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class UNet1DUltimate(nn.Module):
+    """Production epsilon-prediction UNet over (B, T, in_dim) mels."""
+
+    in_dim: int = 80
+    base_dim: int = 256
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    cond_dim: int = 128
+    time_emb_dim: int = 256
+    num_res_blocks: int = 2
+    mid_blocks: int = 3
+    attn_heads: int = 8
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, T, in_dim)
+        t: jnp.ndarray,  # (B,)
+        motion_f: Optional[jnp.ndarray] = None,  # (B, T, cond_dim)
+        text_f: Optional[jnp.ndarray] = None,  # (B, T, cond_dim)
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        t_emb = TimestepEmbedding(self.time_emb_dim, dtype=self.dtype, name="time_embedding")(t)
+
+        h = nn.Conv(self.base_dim, (1,), dtype=self.dtype, name="in_proj")(x)
+        dims = [self.base_dim * m for m in self.dim_mults]
+
+        def block(out_ch, use_attn, name):
+            return ResBlockUltimate(
+                out_channels=out_ch,
+                cond_dim=self.cond_dim,
+                use_attn=use_attn,
+                num_heads=self.attn_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        # Down path: attention only on the last block of each stage.
+        skips = []
+        for i, dim in enumerate(dims):
+            for b in range(self.num_res_blocks):
+                use_attn = b == self.num_res_blocks - 1
+                h = block(dim, use_attn, f"down_{i}_block_{b}")(
+                    h, t_emb, motion_f, text_f, deterministic=deterministic
+                )
+            skips.append(h)
+            h = nn.Conv(
+                dim, (4,), strides=(2,), padding=[(1, 1)], dtype=self.dtype,
+                name=f"down_{i}_downsample",
+            )(h)
+
+        # Mid: every block attends.
+        for b in range(self.mid_blocks):
+            h = block(dims[-1], True, f"mid_block_{b}")(
+                h, t_emb, motion_f, text_f, deterministic=deterministic
+            )
+
+        # Up path: attention on the first (post-concat) block of each stage.
+        for i, dim in enumerate(reversed(dims)):
+            h = upsample_linear_2x_align_corners(h)
+            h = nn.Conv(dim, (3,), padding="SAME", dtype=self.dtype, name=f"up_{i}_upsample")(h)
+            skip = skips.pop()
+            h = _fix_time_len(h, skip.shape[1])
+            h = jnp.concatenate([h, skip], axis=-1)
+            for b in range(self.num_res_blocks):
+                h = block(dim, b == 0, f"up_{i}_block_{b}")(
+                    h, t_emb, motion_f, text_f, deterministic=deterministic
+                )
+
+        h = _group_norm(h.shape[-1], self.dtype, "out_gn")(h)
+        h = nn.silu(h)
+        out = nn.Conv(self.in_dim, (1,), dtype=self.dtype, name="out_proj")(h)
+        return out.astype(jnp.float32)
+
+
+class ResBlockV1(nn.Module):
+    """v1 block: additive timestep projection, unconditional cross-attn."""
+
+    channels: int
+    cond_dim: int = 128
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb, motion_f, text_f):
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3,), padding="SAME", dtype=self.dtype, name="conv1")(h)
+        h = h + nn.Dense(self.channels, dtype=self.dtype, name="time_proj")(t_emb)[:, None, :]
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3,), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        h = CrossAttentionFusion(
+            mel_dim=self.channels, cond_dim=self.cond_dim,
+            num_heads=self.num_heads, dtype=self.dtype, name="cross_attn",
+        )(h, motion_f, text_f)
+        return x + h
+
+
+class UNet1D(nn.Module):
+    """v1 baseline UNet (every block attends; transposed-conv upsampling)."""
+
+    in_dim: int = 80
+    base_dim: int = 128
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    cond_dim: int = 128
+    time_emb_dim: int = 256
+    attn_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, motion_f=None, text_f=None, *, deterministic=True):
+        x = x.astype(self.dtype)
+        t_emb = TimestepEmbedding(self.time_emb_dim, dtype=self.dtype, name="time_embedding")(t)
+        h = nn.Conv(self.base_dim, (1,), dtype=self.dtype, name="input_proj")(x)
+
+        dims = [self.base_dim * m for m in self.dim_mults]
+        prev_dim = self.base_dim
+        skips = []
+        skip_channels = []
+        for i, dim in enumerate(dims):
+            h = ResBlockV1(
+                prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
+                dtype=self.dtype, name=f"down_{i}_res",
+            )(h, t_emb, motion_f, text_f)
+            skips.append(h)
+            skip_channels.append(prev_dim)
+            h = nn.Conv(
+                dim, (4,), strides=(2,), padding=[(1, 1)], dtype=self.dtype,
+                name=f"down_{i}_downsample",
+            )(h)
+            prev_dim = dim
+
+        h = ResBlockV1(
+            prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
+            dtype=self.dtype, name="mid_res",
+        )(h, t_emb, motion_f, text_f)
+
+        for i, (dim, skip_ch) in enumerate(zip(reversed(dims), reversed(skip_channels))):
+            # padding (2,2) == torch ConvTranspose1d(k=4, s=2, p=1): T -> 2T
+            h = nn.ConvTranspose(
+                dim, (4,), strides=(2,), padding=[(2, 2)], dtype=self.dtype,
+                name=f"up_{i}_upconv",
+            )(h)
+            skip = skips.pop()
+            h = _fix_time_len(h, skip.shape[1])
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ResBlockV1(
+                dim + skip_ch, cond_dim=self.cond_dim, num_heads=self.attn_heads,
+                dtype=self.dtype, name=f"up_{i}_res",
+            )(h, t_emb, motion_f, text_f)
+            prev_dim = dim + skip_ch
+
+        return nn.Conv(self.in_dim, (1,), dtype=self.dtype, name="out_proj")(h).astype(
+            jnp.float32
+        )
