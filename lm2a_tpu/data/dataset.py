@@ -1,0 +1,238 @@
+"""Dataset reading and batching.
+
+Replaces the reference's torch ``MelDataset`` + 8-worker ``DataLoader``
+(``/root/reference/datasetcode/dataset.py:109-187``, ``train.py:58``) with a
+TPU-idiomatic two-tier design:
+
+1. :class:`MelNpzDataset` — per-file npz reader with the same alignment
+   contract: everything is aligned to the mel time axis (T = mel.shape[1],
+   516 for canonical clips); mel is transposed to (T, 80); motion/lyrics are
+   linearly interpolated ('interp', the reference default) or repeat-padded.
+2. :func:`pack_dataset` / :class:`PackedDataset` — a one-time pack of a
+   split into flat memory-mapped ``.npy`` arrays. Epochs then cost one fancy
+   index per batch — no per-step decompression, no worker processes (the
+   decompress-per-epoch work the reference pays 8 workers for disappears).
+
+:class:`BatchIterator` yields stacked numpy batches (shuffled, seeded,
+drop-remainder for static shapes) and :func:`device_prefetch` overlaps the
+host->device copy of batch k+1 with the compute of batch k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from lm2a_tpu.data.schema import load_sample, normalize_mel_layout
+from lm2a_tpu.ops.resample import linear_resample, match_len
+
+_EXCLUDE = {"motion_stats.npz"}
+
+
+def list_npz(npz_dir: str) -> List[str]:
+    files = sorted(
+        f for f in os.listdir(npz_dir) if f.endswith(".npz") and f not in _EXCLUDE
+    )
+    return [os.path.join(npz_dir, f) for f in files]
+
+
+class MelNpzDataset:
+    """Aligned per-sample access over a directory of npz shards."""
+
+    def __init__(self, npz_dir: str, align_mode: str = "interp"):
+        self.npz_dir = npz_dir
+        self.files = list_npz(npz_dir)
+        self.align_mode = align_mode
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict:
+        s = load_sample(self.files[idx])
+        mel = normalize_mel_layout(s.mel)
+        T = mel.shape[1]
+        mel_out = np.ascontiguousarray(mel.T)  # (T, 80) channels-last
+        motion = match_len(s.motion, T, mode=self.align_mode)
+        lyrics = match_len(s.lyrics, T, mode=self.align_mode)
+        return {
+            "mel": mel_out.astype(np.float32),
+            "motion": motion.astype(np.float32),
+            "lyrics": lyrics.astype(np.float32),
+            "sr": s.sr,
+            "hop_length": s.hop_length,
+            "path": self.files[idx],
+        }
+
+
+PACK_META = "pack_meta.json"
+
+
+def pack_dataset(npz_dir: str, out_dir: str, align_mode: str = "interp") -> str:
+    """One-time pack of a split into mmap-able flat arrays.
+
+    Writes ``mel.npy (N,T,80)``, ``motion.npy (N,T,234)``,
+    ``lyrics.npy (N,T,768)`` plus ``pack_meta.json`` with the file list.
+    """
+    ds = MelNpzDataset(npz_dir, align_mode=align_mode)
+    if len(ds) == 0:
+        raise ValueError(f"no npz files in {npz_dir}")
+    os.makedirs(out_dir, exist_ok=True)
+    first = ds[0]
+    n = len(ds)
+    arrays = {}
+    for key in ("mel", "motion", "lyrics"):
+        shape = (n,) + first[key].shape
+        arrays[key] = np.lib.format.open_memmap(
+            os.path.join(out_dir, f"{key}.npy"), mode="w+", dtype=np.float32,
+            shape=shape,
+        )
+    for i in range(n):
+        item = ds[i]
+        for key in ("mel", "motion", "lyrics"):
+            arrays[key][i] = item[key]
+    for a in arrays.values():
+        a.flush()
+    meta = {
+        "num_samples": n,
+        "files": [os.path.basename(f) for f in ds.files],
+        "sr": int(first["sr"]),
+        "hop_length": int(first["hop_length"]),
+        "align_mode": align_mode,
+    }
+    with open(os.path.join(out_dir, PACK_META), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+class PackedDataset:
+    """Memory-mapped packed split; batches are one fancy-index per array."""
+
+    def __init__(self, pack_dir: str):
+        with open(os.path.join(pack_dir, PACK_META)) as f:
+            self.meta = json.load(f)
+        self.mel = np.load(os.path.join(pack_dir, "mel.npy"), mmap_mode="r")
+        self.motion = np.load(os.path.join(pack_dir, "motion.npy"), mmap_mode="r")
+        self.lyrics = np.load(os.path.join(pack_dir, "lyrics.npy"), mmap_mode="r")
+
+    def __len__(self) -> int:
+        return self.mel.shape[0]
+
+    def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            "mel": np.asarray(self.mel[idx]),
+            "motion": np.asarray(self.motion[idx]),
+            "lyrics": np.asarray(self.lyrics[idx]),
+        }
+
+
+class BatchIterator:
+    """Seeded, shuffled, drop-remainder batches with static shapes.
+
+    Works over either a :class:`PackedDataset` (fast path) or a
+    :class:`MelNpzDataset` (stacks per-file reads).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        bs = self.batch_size
+        for start in range(0, n - bs + 1, bs):
+            idx = order[start : start + bs]
+            if isinstance(self.dataset, PackedDataset):
+                yield self.dataset.gather(idx)
+            else:
+                items = [self.dataset[int(i)] for i in idx]
+                yield {
+                    k: np.stack([it[k] for it in items])
+                    for k in ("mel", "motion", "lyrics")
+                }
+
+
+def device_prefetch(iterator, mesh=None, depth: int = 2):
+    """Overlap host->device transfer with compute.
+
+    A small background thread stages the next batch onto device (sharded over
+    the mesh's data axis when given) while the current one is being consumed —
+    the role DataLoader workers + pin_memory play in the reference.
+    """
+    import jax
+
+    from lm2a_tpu.core.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    sem = threading.Semaphore(depth)
+    done = object()
+    out: List = []
+    lock = threading.Condition()
+
+    def producer():
+        for batch in iterator:
+            sem.acquire()
+            staged = put(batch)
+            with lock:
+                out.append(staged)
+                lock.notify()
+        with lock:
+            out.append(done)
+            lock.notify()
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        with lock:
+            while not out:
+                lock.wait()
+            item = out.pop(0)
+        if item is done:
+            return
+        sem.release()
+        yield item
+
+
+def compute_dataset_stats(npz_dir: str, cap_files: Optional[int] = None):
+    """Global mel mean/std over a split (``/root/reference/train.py:29-50``).
+
+    Uses a streaming accumulator instead of concatenating every mel in RAM.
+    """
+    from lm2a_tpu.ops.moments import RunningMoments
+
+    files = list_npz(npz_dir)
+    if cap_files is not None:
+        files = files[:cap_files]
+    rm = RunningMoments()
+    for path in files:
+        try:
+            d = np.load(path, allow_pickle=True)
+            mel = normalize_mel_layout(d["mel"])
+        except Exception:
+            continue
+        rm.update(mel.reshape(-1, 1))
+    if rm.count == 0:
+        raise RuntimeError(f"no mel data found in {npz_dir}")
+    # population std (ddof=0) to match numpy's default arr.std()
+    std = float(np.sqrt(rm.m2[0] / rm.count))
+    return float(rm.mean[0]), std

@@ -1,0 +1,95 @@
+"""Orbax checkpointing with real resume.
+
+The reference saves whole-model ``torch.save`` dicts every 1000 steps
+(``/root/reference/train.py:192-206``) but deliberately nulls any ``--ckpt``
+and never resumes (``train.py:130-133``). Here checkpoints carry the full
+TrainState (params, EMA, optimizer state, step), the config, and the dataset
+statistics — and resume actually works.
+
+Layout:
+    <dir>/ckpt_step_<n>/   orbax state tree
+    <dir>/ckpt_step_<n>.meta.json   config + stats + epoch
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from lm2a_tpu.core.config import LM2AConfig, config_from_dict, config_to_dict
+
+_STEP_RE = re.compile(r"^ckpt_step_(\d+)$")
+
+
+def checkpoint_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"ckpt_step_{step}")
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state,
+    cfg: LM2AConfig,
+    *,
+    epoch: int = 0,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+    extra: Optional[dict] = None,
+) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(jax.device_get(state.step))
+    path = checkpoint_path(ckpt_dir, step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    meta = {
+        "step": step,
+        "epoch": epoch,
+        "dataset_mean": float(dataset_mean),
+        "dataset_std": float(dataset_std),
+        "config": config_to_dict(cfg),
+    }
+    if extra:
+        meta.update(extra)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def list_checkpoints(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(name)
+        if m and os.path.isdir(os.path.join(ckpt_dir, name)):
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    steps = list_checkpoints(ckpt_dir)
+    return checkpoint_path(ckpt_dir, steps[-1]) if steps else None
+
+
+def load_metadata(path: str) -> dict:
+    with open(path + ".meta.json") as f:
+        return json.load(f)
+
+
+def restore_checkpoint(path: str, state_template) -> Tuple[Any, dict]:
+    """Restore (TrainState, metadata). ``state_template`` supplies the tree
+    structure/shapes (an initialized TrainState works)."""
+    path = os.path.abspath(path)
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, abstract)
+    meta = load_metadata(path) if os.path.exists(path + ".meta.json") else {}
+    return state, meta
+
+
+def config_from_checkpoint(path: str) -> LM2AConfig:
+    return config_from_dict(load_metadata(path)["config"])

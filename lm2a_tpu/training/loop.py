@@ -1,0 +1,174 @@
+"""Training loop: epochs, validation, logging, checkpoint/resume.
+
+The orchestration mirrors ``/root/reference/train.py:53-270`` (per-step CFG
+drop + Adan + EMA, per-epoch capped validation pass, CSV/TensorBoard logging,
+periodic + final checkpoints) with the deliberate upgrades documented in
+SURVEY.md §7: resume actually works, the loss fetch is asynchronous (one
+device sync per log interval, not per step), and batches stream through a
+device-prefetch pipeline instead of loader workers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from lm2a_tpu.core.config import LM2AConfig
+from lm2a_tpu.core.mesh import make_mesh
+from lm2a_tpu.data.dataset import (
+    BatchIterator,
+    MelNpzDataset,
+    PackedDataset,
+    compute_dataset_stats,
+    device_prefetch,
+    PACK_META,
+)
+from lm2a_tpu.diffusion.schedule import make_schedule
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.training.adan import make_lr_schedule
+from lm2a_tpu.training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from lm2a_tpu.training.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from lm2a_tpu.utils.logging import TrainLogger
+
+
+def _open_dataset(path: str, align_mode: str):
+    if os.path.exists(os.path.join(path, PACK_META)):
+        return PackedDataset(path)
+    return MelNpzDataset(path, align_mode=align_mode)
+
+
+@dataclass
+class TrainResult:
+    final_step: int
+    final_loss: float
+    ckpt_dir: str
+
+
+def train(
+    cfg: LM2AConfig,
+    npz_dir: str,
+    save_dir: str,
+    val_npz_dir: Optional[str] = None,
+    dataset_mean: Optional[float] = None,
+    dataset_std: Optional[float] = None,
+    resume: bool = False,
+    mesh=None,
+    max_steps: Optional[int] = None,
+    use_tensorboard: bool = True,
+) -> TrainResult:
+    mesh = mesh if mesh is not None else make_mesh()
+    tc = cfg.train
+
+    denoiser = build_denoiser(cfg.model, tc.compute_dtype)
+    cond_proj = build_cond_projection(cfg.model, tc.compute_dtype)
+    schedule = make_schedule(cfg.diffusion)
+
+    if dataset_mean is None or dataset_std is None:
+        if os.path.exists(os.path.join(npz_dir, PACK_META)):
+            ds_tmp = PackedDataset(npz_dir)
+            dataset_mean = float(np.mean(ds_tmp.mel))
+            dataset_std = float(np.std(ds_tmp.mel))
+        else:
+            dataset_mean, dataset_std = compute_dataset_stats(npz_dir)
+        print(f"dataset stats: mean={dataset_mean:.6f} std={dataset_std:.6f}")
+
+    ds = _open_dataset(npz_dir, cfg.data.align_mode)
+    val_ds = (
+        _open_dataset(val_npz_dir, cfg.data.align_mode)
+        if val_npz_dir and os.path.isdir(val_npz_dir)
+        else None
+    )
+
+    key = jax.random.key(tc.seed)
+    state, tx = init_train_state(denoiser, cond_proj, cfg, key)
+    start_epoch = 0
+    if resume:
+        path = latest_checkpoint(save_dir)
+        if path:
+            state, meta = restore_checkpoint(path, state)
+            start_epoch = int(meta.get("epoch", 0))
+            dataset_mean = float(meta.get("dataset_mean", dataset_mean))
+            dataset_std = float(meta.get("dataset_std", dataset_std))
+            print(f"resumed from {path} at step {int(state.step)}")
+
+    train_step = make_train_step(
+        denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
+        dataset_mean=dataset_mean, dataset_std=dataset_std,
+    )
+    eval_step = make_eval_step(
+        denoiser, cond_proj, schedule, cfg, mesh=mesh,
+        dataset_mean=dataset_mean, dataset_std=dataset_std,
+    )
+    lr_fn = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
+
+    logger = TrainLogger(save_dir, use_tensorboard=use_tensorboard)
+    root_key = jax.random.key(tc.seed + 1)
+
+    step = int(state.step)
+    pending_loss = None
+    last_loss = float("nan")
+    stop = False
+
+    def ckpt(epoch):
+        path = save_checkpoint(
+            save_dir, state, cfg, epoch=epoch,
+            dataset_mean=dataset_mean, dataset_std=dataset_std,
+        )
+        print("saved checkpoint:", path)
+
+    epoch = start_epoch
+    for epoch in range(start_epoch, tc.epochs):
+        t0 = time.time()
+        it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
+        for batch in device_prefetch(it, mesh=mesh):
+            step_key = jax.random.fold_in(root_key, step)
+            state, loss = train_step(state, batch, step_key)
+            pending_loss = loss  # async: don't block on the device each step
+
+            if step % tc.log_interval == 0:
+                last_loss = float(jax.device_get(pending_loss))
+                logger.log_step(epoch, step, last_loss, float(lr_fn(np.int32(step))))
+            if tc.save_interval and step % tc.save_interval == 0 and step > 0:
+                ckpt(epoch)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                stop = True
+                break
+
+        val_loss = None
+        if val_ds is not None and not stop:
+            vlosses = []
+            vit = BatchIterator(val_ds, tc.batch_size, shuffle=False)
+            for i, vbatch in enumerate(device_prefetch(vit, mesh=mesh)):
+                if tc.val_cap_batches and i >= tc.val_cap_batches:
+                    break
+                vkey = jax.random.fold_in(root_key, 10_000_000 + step + i)
+                vlosses.append(eval_step(state.params, vbatch, vkey))
+            if vlosses:
+                val_loss = float(np.mean(jax.device_get(vlosses)))
+                print(f"epoch {epoch} val loss: {val_loss:.6f} ({len(vlosses)} batches)")
+
+        if pending_loss is not None:
+            last_loss = float(jax.device_get(pending_loss))
+        logger.log_epoch(epoch, step, last_loss, val_loss, time.time() - t0)
+        if stop:
+            break
+
+    # final checkpoint records the NEXT epoch so resume doesn't redo the last
+    # one (mid-epoch saves keep the current epoch and re-run the partial epoch)
+    ckpt(epoch if stop else epoch + 1)
+    logger.close()
+    return TrainResult(final_step=step, final_loss=last_loss, ckpt_dir=save_dir)

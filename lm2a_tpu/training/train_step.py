@@ -1,0 +1,199 @@
+"""Data-parallel pjit train/eval steps.
+
+One optimization step == the hot loop of ``/root/reference/train.py:135-218``
+(cond projection, shared-mask CFG condition drop, diffusion loss, grad-clip
+1.0, Adan update, EMA lerp), compiled into a single XLA program:
+
+- the batch is sharded over the mesh's ``data`` axis; parameters, optimizer
+  state and EMA are replicated. GSPMD inserts the gradient psum over ICI —
+  the only collective this workload needs (SURVEY.md §5.8);
+- bf16 activations stand in for the reference's fp16 AMP + GradScaler
+  (no scaler needed: bf16 has fp32's exponent range);
+- EMA is a fused tree-lerp inside the same program, not a separate pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from lm2a_tpu.core.config import LM2AConfig
+from lm2a_tpu.core.mesh import batch_sharding, replicated
+from lm2a_tpu.diffusion.gaussian import diffusion_loss
+from lm2a_tpu.diffusion.schedule import Schedule
+from lm2a_tpu.training.adan import adan, make_lr_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # int32
+    params: Dict[str, Any]  # {'unet': ..., 'cond_proj': ...}
+    ema_params: Dict[str, Any]
+    opt_state: Any
+
+
+def init_train_state(
+    denoiser,
+    cond_proj,
+    cfg: LM2AConfig,
+    key: jax.Array,
+    seq_len: int = 516,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Initialize parameters and optimizer state on tiny dummy shapes."""
+    ku, kp = jax.random.split(key)
+    mc = cfg.model
+    x = jnp.zeros((1, seq_len, mc.in_dim), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    cond = jnp.zeros((1, seq_len, mc.cond_dim), jnp.float32)
+    unet_vars = denoiser.init(ku, x, t, cond, cond)
+    proj_vars = cond_proj.init(
+        kp,
+        jnp.zeros((1, seq_len, mc.motion_dim), jnp.float32),
+        jnp.zeros((1, seq_len, mc.text_dim), jnp.float32),
+    )
+    params = {"unet": unet_vars["params"], "cond_proj": proj_vars["params"]}
+
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+    return state, tx
+
+
+def make_optimizer(cfg: LM2AConfig) -> optax.GradientTransformation:
+    tc = cfg.train
+    lr = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
+    opt = adan(lr, weight_decay=tc.weight_decay)
+    if tc.grad_clip and tc.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(tc.grad_clip), opt)
+    return opt
+
+
+def _loss(
+    params,
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    batch,
+    key,
+    cond_drop_prob: float,
+    dataset_mean: float,
+    dataset_std: float,
+    train: bool,
+):
+    kdrop, kdiff, kdo = jax.random.split(key, 3)
+    motion_f, text_f = cond_proj.apply(
+        {"params": params["cond_proj"]}, batch["motion"], batch["lyrics"]
+    )
+    if train and cond_drop_prob > 0.0:
+        b = motion_f.shape[0]
+        # one shared Bernoulli mask zeroes BOTH conditions (train.py:148-157)
+        keep = 1.0 - jax.random.bernoulli(
+            kdrop, cond_drop_prob, (b, 1, 1)
+        ).astype(motion_f.dtype)
+        motion_f = motion_f * keep
+        text_f = text_f * keep
+
+    def model_fn(x, t, m, l):
+        return denoiser.apply(
+            {"params": params["unet"]},
+            x, t, m, l,
+            deterministic=not train,
+            rngs={"dropout": kdo} if train else None,
+        )
+
+    return diffusion_loss(
+        model_fn, schedule, kdiff, batch["mel"], motion_f, text_f,
+        dataset_mean=dataset_mean, dataset_std=dataset_std,
+    )
+
+
+def make_train_step(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+):
+    """Build the jitted train step.
+
+    Returns ``train_step(state, batch, key) -> (state, loss)``. ``batch`` is
+    a dict of (B, T, .) arrays: ``mel (B,T,80)``, ``motion (B,T,234)``,
+    ``lyrics (B,T,768)``. When ``mesh`` is given, the step is compiled with
+    replicated state and batch-sharded data.
+    """
+    ema_decay = cfg.train.ema_decay
+
+    def step_fn(state: TrainState, batch, key):
+        loss_fn = partial(
+            _loss,
+            denoiser=denoiser,
+            cond_proj=cond_proj,
+            schedule=schedule,
+            batch=batch,
+            key=key,
+            cond_drop_prob=cfg.train.cond_drop_prob,
+            dataset_mean=dataset_mean,
+            dataset_std=dataset_std,
+            train=True,
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params,
+            params,
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
+def make_eval_step(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+):
+    """Validation loss (no condition drop, no dropout), jitted + sharded."""
+
+    def step_fn(params, batch, key):
+        return _loss(
+            params, denoiser, cond_proj, schedule, batch, key,
+            cond_drop_prob=0.0, dataset_mean=dataset_mean,
+            dataset_std=dataset_std, train=False,
+        )
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(rep, bsh, rep), out_shardings=rep)

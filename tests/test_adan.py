@@ -1,0 +1,115 @@
+"""Adan optimizer parity: numpy oracle of the documented recurrences AND a
+golden run against the reference torch implementation."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lm2a_tpu.training.adan import adan, make_lr_schedule
+
+REF = "/root/reference"
+
+
+def np_adan_steps(p0, grads, lr, betas=(0.02, 0.08, 0.01), eps=1e-8, wd=0.0):
+    """Numpy oracle of the reference update (models/adan.py:147-216)."""
+    b1, b2, b3 = betas
+    p = p0.astype(np.float64).copy()
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    n = np.zeros_like(p)
+    prev = np.zeros_like(p)
+    step = 0
+    out = []
+    for g in grads:
+        g = g.astype(np.float64)
+        if step > 0:
+            m = (1 - b1) * m + b1 * g
+            gd = g - prev
+            v = (1 - b2) * v + b2 * gd
+            n = (1 - b3) * n + b3 * (g + (1 - b2) * gd) ** 2
+        step += 1
+        cm = 1 / (1 - (1 - b1) ** step)
+        cv = 1 / (1 - (1 - b2) ** step)
+        cn = 1 / (1 - (1 - b3) ** step)
+        wss = lr / (np.sqrt(n * cn) + eps)
+        p = (p - wss * (m * cm + (1 - b2) * v * cv)) / (1 + wd * lr)
+        prev = g.copy()
+        out.append(p.copy())
+    return out
+
+
+class TestAdanOracle:
+    @pytest.mark.parametrize("wd", [0.0, 1e-2])
+    def test_matches_numpy_oracle(self, wd):
+        rng = np.random.default_rng(0)
+        p0 = rng.normal(size=(4, 3)).astype(np.float32)
+        grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(6)]
+
+        opt = adan(1e-2, weight_decay=wd)
+        params = {"w": jnp.asarray(p0)}
+        state = opt.init(params)
+        traj = []
+        for g in grads:
+            updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+            params = {"w": params["w"] + updates["w"]}
+            traj.append(np.asarray(params["w"]))
+
+        ref = np_adan_steps(p0, grads, 1e-2, wd=wd)
+        for ours, want in zip(traj, ref):
+            np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
+
+    def test_first_step_only_weight_decay(self):
+        """Step 1: moments are zero -> pure 1/(1+wd*lr) shrink."""
+        opt = adan(0.1, weight_decay=0.5)
+        params = {"w": jnp.full((3,), 2.0)}
+        state = opt.init(params)
+        g = {"w": jnp.full((3,), 7.0)}
+        updates, state = opt.update(g, state, params)
+        new = params["w"] + updates["w"]
+        np.testing.assert_allclose(np.asarray(new), 2.0 / (1 + 0.5 * 0.1), rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+class TestAdanGoldenVsTorch:
+    def test_matches_reference_torch_adan(self):
+        torch = pytest.importorskip("torch")
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        from models.adan import Adan as TorchAdan
+
+        rng = np.random.default_rng(1)
+        p0 = rng.normal(size=(5, 2)).astype(np.float32)
+        grads = [rng.normal(size=(5, 2)).astype(np.float32) for _ in range(8)]
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = TorchAdan([tp], lr=3e-3, weight_decay=1e-4)
+        ref_traj = []
+        for g in grads:
+            tp.grad = torch.from_numpy(g.copy())
+            topt.step()
+            ref_traj.append(tp.detach().numpy().copy())
+
+        opt = adan(3e-3, weight_decay=1e-4)
+        params = {"w": jnp.asarray(p0)}
+        state = opt.init(params)
+        for g, want in zip(grads, ref_traj):
+            updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+            params = {"w": params["w"] + updates["w"]}
+            np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=2e-4, atol=1e-6)
+
+
+class TestLRSchedule:
+    def test_constant_when_empty(self):
+        f = make_lr_schedule(2e-4)
+        assert float(f(jnp.int32(0))) == pytest.approx(2e-4)
+        assert float(f(jnp.int32(10**6))) == pytest.approx(2e-4)
+
+    def test_step_decay(self):
+        f = make_lr_schedule(1.0, (100, 200), (0.5, 0.1))
+        assert float(f(jnp.int32(99))) == pytest.approx(1.0)
+        assert float(f(jnp.int32(100))) == pytest.approx(0.5)
+        assert float(f(jnp.int32(250))) == pytest.approx(0.05)
