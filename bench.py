@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Headline benchmark: mel frames/sec/chip in DDPM sampling.
+
+Protocol (reference parity, BASELINE.md): flagship UNet1DUltimate at the
+production configuration (base 256, mults (1,2,4), 134M params), one
+canonical 6 s clip (B=1, T=516, 80 mel bins), classifier-free guidance 2.1
+(doubled-batch forwards), full 1000-step ancestral DDPM chain — compiled as
+a single lax.scan, bf16 activations.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+``vs_baseline`` is the speedup over the measured torch-CPU reference
+(baselines/reference_cpu.json; ~0.51 frames/sec on this image).
+All diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compile cache: the axon remote-compile path costs minutes
+    # for the big scan program; cache it across bench invocations.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lm2a_tpu.core.config import DiffusionConfig, ModelConfig
+    from lm2a_tpu.diffusion import make_sampler, make_schedule
+    from lm2a_tpu.models.factory import build_denoiser
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} / {dev.device_kind}")
+
+    cfg = ModelConfig()  # production defaults
+    B, T, steps, guidance = 1, 516, 1000, 2.1
+
+    denoiser = build_denoiser(cfg, "bfloat16")
+    schedule = make_schedule(DiffusionConfig(timesteps=steps))
+
+    key = jax.random.key(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jax.random.normal(k1, (B, T, cfg.in_dim), jnp.float32)
+    motion_f = jax.random.normal(k2, (B, T, cfg.cond_dim), jnp.float32)
+    text_f = jax.random.normal(k3, (B, T, cfg.cond_dim), jnp.float32)
+    t0 = time.perf_counter()
+    params = jax.jit(denoiser.init)(k4, x, jnp.zeros((B,), jnp.int32), motion_f, text_f)
+    jax.block_until_ready(params)
+    log(f"init: {time.perf_counter() - t0:.1f}s, "
+        f"params: {sum(p.size for p in jax.tree.leaves(params)):,}")
+
+    sampler = make_sampler(denoiser.apply, schedule, guidance_weight=guidance)
+
+    shape = (B, T, cfg.in_dim)
+    t0 = time.perf_counter()
+    out = sampler(params, jax.random.key(1), shape, motion_f, text_f)
+    out.block_until_ready()
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    assert bool(jnp.isfinite(out).all()), "non-finite sample"
+
+    runs = 3
+    times = []
+    for i in range(runs):
+        t0 = time.perf_counter()
+        out = sampler(params, jax.random.key(2 + i), shape, motion_f, text_f)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    frames_per_sec = B * T / best
+    log(f"chain seconds (best of {runs}): {best:.3f}  times={['%.3f' % t for t in times]}")
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baselines", "reference_cpu.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs_baseline = frames_per_sec / base["frames_per_sec"]
+
+    print(json.dumps({
+        "metric": "mel_frames_per_sec_ddpm_cfg_1000step",
+        "value": round(frames_per_sec, 3),
+        "unit": "mel frames/sec/chip (B=1, T=516, CFG 2.1, 1000-step DDPM)",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
