@@ -1,0 +1,214 @@
+"""Generation: conditioned mel sampling from an npz clip.
+
+Pipeline parity with ``/root/reference/sample.py:42-278``:
+load npz conds -> rebuild models from the checkpointed config (the reference
+hardcodes arch literals that must match training; here the config travels in
+the checkpoint) -> prefer EMA weights -> dataset stats from ckpt else the
+documented fallback constants -> interp-resample conds to mel length ->
+DDPM chain with optional CFG -> de-normalize -> write ``<base>_gen.npz``
+(mel + conds + projected conds) and gen/real PNGs.
+
+Accepts BOTH checkpoint formats: this framework's orbax directories and the
+reference's ``torch.save`` files (converted on the fly), so reference users
+can sample from their existing checkpoints on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lm2a_tpu.core.config import DiffusionConfig, LM2AConfig
+from lm2a_tpu.data.schema import load_sample, normalize_mel_layout
+from lm2a_tpu.diffusion import ddim_sample, ddpm_sample, make_schedule
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.ops.resample import match_len
+
+# Documented fallback stats (/root/reference/sample.py:47-48), used only when
+# the checkpoint carries none.
+FALLBACK_MEL_MEAN = -4.63706636428833
+FALLBACK_MEL_STD = 1.8648223876953125
+
+
+@dataclass
+class LoadedModels:
+    cfg: LM2AConfig
+    denoiser: object
+    cond_proj: object
+    unet_params: dict
+    proj_params: dict
+    dataset_mean: float
+    dataset_std: float
+    timesteps: int
+
+
+def load_models(
+    ckpt_path: str,
+    cfg: Optional[LM2AConfig] = None,
+    prefer_ema: bool = True,
+    compute_dtype: str = "bfloat16",
+) -> LoadedModels:
+    """Load an orbax checkpoint dir or a reference torch checkpoint file."""
+    mean, std = FALLBACK_MEL_MEAN, FALLBACK_MEL_STD
+    timesteps = None
+
+    if os.path.isdir(ckpt_path):  # our orbax layout
+        from lm2a_tpu.core.config import config_from_dict
+        from lm2a_tpu.models.factory import (
+            build_cond_projection as bcp,
+            build_denoiser as bd,
+        )
+        from lm2a_tpu.training.checkpoint import load_metadata, restore_checkpoint
+        from lm2a_tpu.training.train_step import init_train_state
+
+        meta = load_metadata(ckpt_path)
+        cfg = config_from_dict(meta["config"]) if cfg is None else cfg
+        denoiser = bd(cfg.model, compute_dtype)
+        cond_proj = bcp(cfg.model, compute_dtype)
+        template, _ = init_train_state(denoiser, cond_proj, cfg, jax.random.key(0))
+        state, _ = restore_checkpoint(ckpt_path, template)
+        params = state.ema_params if prefer_ema else state.params
+        unet_params = {"params": params["unet"]}
+        proj_params = {"params": params["cond_proj"]}
+        mean = float(meta.get("dataset_mean", mean))
+        std = float(meta.get("dataset_std", std))
+        timesteps = cfg.diffusion.timesteps
+    else:  # reference torch .pt file
+        from lm2a_tpu.utils.torch_convert import load_torch_checkpoint
+
+        cfg = cfg if cfg is not None else LM2AConfig()
+        unet_params, proj_params, meta = load_torch_checkpoint(
+            ckpt_path, cfg.model, prefer_ema=prefer_ema
+        )
+        denoiser = build_denoiser(cfg.model, compute_dtype)
+        cond_proj = build_cond_projection(cfg.model, compute_dtype)
+        if meta.get("dataset_mean") is not None:
+            mean = float(meta["dataset_mean"])
+            std = float(meta["dataset_std"])
+        if meta.get("timesteps") is not None:
+            timesteps = int(meta["timesteps"])
+
+    return LoadedModels(
+        cfg=cfg, denoiser=denoiser, cond_proj=cond_proj,
+        unet_params=unet_params, proj_params=proj_params,
+        dataset_mean=mean, dataset_std=std,
+        timesteps=timesteps or cfg.diffusion.timesteps,
+    )
+
+
+def generate_mel(
+    models: LoadedModels,
+    motion: np.ndarray,  # (T_m, 234) raw normalized motion feats
+    lyrics: np.ndarray,  # (T_l, 768)
+    mel_t: int,
+    steps: Optional[int] = None,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    seed: int = 0,
+    batch: int = 1,
+):
+    """Run the sampler; returns (mel (B, 80, mel_T) de-normalized, motion_f,
+    text_f). The whole chain is one jitted scan program."""
+    cfg = models.cfg
+    steps = steps or models.timesteps
+    schedule = make_schedule(
+        DiffusionConfig(
+            timesteps=steps,
+            beta_start=cfg.diffusion.beta_start,
+            beta_end=cfg.diffusion.beta_end,
+        )
+    )
+
+    motion_rs = match_len(np.asarray(motion, np.float32), mel_t, mode="interp")
+    lyrics_rs = match_len(np.asarray(lyrics, np.float32), mel_t, mode="interp")
+    motion_b = jnp.broadcast_to(jnp.asarray(motion_rs), (batch,) + motion_rs.shape)
+    lyrics_b = jnp.broadcast_to(jnp.asarray(lyrics_rs), (batch,) + lyrics_rs.shape)
+
+    motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
+
+    def model_fn(x, t, m, l):
+        return models.denoiser.apply(models.unet_params, x, t, m, l)
+
+    sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
+    kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
+
+    @partial(jax.jit, static_argnums=())
+    def run(key, motion_f, text_f):
+        return sampler(
+            model_fn, schedule, key, (batch, mel_t, cfg.model.in_dim),
+            motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+        )
+
+    out = run(jax.random.key(seed), motion_f, text_f)
+    out = np.asarray(out) * models.dataset_std + models.dataset_mean
+    mel = out.transpose(0, 2, 1)  # (B, 80, T) npz layout
+    return mel, np.asarray(motion_f), np.asarray(text_f), motion_rs, lyrics_rs
+
+
+def sample_from_npz(
+    npz_path: str,
+    ckpt_path: str,
+    out_dir: str,
+    steps: int = 1000,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    seed: int = 0,
+    cfg: Optional[LM2AConfig] = None,
+    save_png: bool = True,
+    models: Optional[LoadedModels] = None,
+) -> str:
+    """End-to-end: npz conds + checkpoint -> ``<base>_gen.npz`` (+PNGs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    s = load_sample(npz_path)
+    real_mel = normalize_mel_layout(s.mel)
+    mel_t = real_mel.shape[1]
+
+    if models is None:
+        models = load_models(ckpt_path, cfg=cfg)
+    gen, motion_f, text_f, motion_rs, lyrics_rs = generate_mel(
+        models, s.motion, s.lyrics, mel_t,
+        steps=steps, guidance_weight=guidance_weight, method=method, seed=seed,
+    )
+    gen_mel = gen[0]  # (80, T)
+    if not np.isfinite(gen_mel).all():
+        raise FloatingPointError("sampling produced non-finite values")
+
+    base = os.path.splitext(os.path.basename(npz_path))[0]
+    out_npz = os.path.join(out_dir, base + "_gen.npz")
+    np.savez_compressed(
+        out_npz,
+        mel=gen_mel.astype(np.float32),
+        motion=motion_rs,
+        lyrics=lyrics_rs,
+        motion_proj=motion_f,
+        lyrics_proj=text_f,
+        sr=s.sr,
+        hop_length=s.hop_length,
+    )
+
+    if save_png:
+        _save_mel_png(gen_mel, os.path.join(out_dir, base + "_gen.png"), "Generated mel")
+        _save_mel_png(real_mel, os.path.join(out_dir, base + "_real.png"), "Real mel")
+    return out_npz
+
+
+def _save_mel_png(mel: np.ndarray, path: str, title: str) -> None:
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    plt.figure(figsize=(8, 4))
+    plt.imshow(mel, aspect="auto", origin="lower")
+    plt.colorbar()
+    plt.title(title)
+    plt.savefig(path)
+    plt.close()

@@ -1,0 +1,117 @@
+"""Inference pipeline tests: sample_from_npz against both checkpoint formats."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from lm2a_tpu.core.config import (
+    DiffusionConfig,
+    LM2AConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from lm2a_tpu.data import Sample, save_sample
+from lm2a_tpu.inference import load_models, sample_from_npz
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.training import init_train_state, save_checkpoint
+
+CFG = LM2AConfig(
+    model=ModelConfig(
+        base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+        num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        motion_dim=234, text_dim=768,
+    ),
+    diffusion=DiffusionConfig(timesteps=8),
+    train=TrainConfig(batch_size=2),
+)
+
+
+@pytest.fixture
+def clip_npz(tmp_path):
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "clip.npz")
+    save_sample(
+        p,
+        Sample(
+            mel=rng.normal(size=(80, 48)).astype(np.float32),
+            motion=rng.normal(size=(16, 234)).astype(np.float32),
+            lyrics=rng.normal(size=(16, 768)).astype(np.float32),
+        ),
+    )
+    return p
+
+
+@pytest.fixture
+def orbax_ckpt(tmp_path):
+    denoiser = build_denoiser(CFG.model)
+    cond_proj = build_cond_projection(CFG.model)
+    state, _ = init_train_state(denoiser, cond_proj, CFG, jax.random.key(0), seq_len=48)
+    ckpt_dir = str(tmp_path / "ckpts")
+    save_checkpoint(ckpt_dir, state, CFG, epoch=0, dataset_mean=-4.6, dataset_std=1.86)
+    return os.path.join(ckpt_dir, "ckpt_step_0")
+
+
+class TestOrbaxPath:
+    def test_sample_from_npz(self, clip_npz, orbax_ckpt, tmp_path):
+        out_dir = str(tmp_path / "out")
+        out = sample_from_npz(
+            clip_npz, orbax_ckpt, out_dir,
+            steps=8, guidance_weight=2.1, save_png=False,
+        )
+        assert os.path.exists(out)
+        d = np.load(out)
+        assert d["mel"].shape == (80, 48)
+        assert np.isfinite(d["mel"]).all()
+        assert d["motion"].shape == (48, 234)  # interp-resampled to mel T
+        assert d["lyrics"].shape == (48, 768)
+        assert d["motion_proj"].shape == (1, 48, 8)
+        assert int(d["sr"]) == 22050
+
+    def test_config_and_stats_travel_in_checkpoint(self, orbax_ckpt):
+        models = load_models(orbax_ckpt)
+        assert models.cfg.model.base_dim == 16
+        assert models.dataset_mean == pytest.approx(-4.6)
+        assert models.dataset_std == pytest.approx(1.86)
+        assert models.timesteps == 8
+
+    def test_deterministic_given_seed(self, clip_npz, orbax_ckpt, tmp_path):
+        models = load_models(orbax_ckpt)
+        a = sample_from_npz(clip_npz, orbax_ckpt, str(tmp_path / "a"),
+                            steps=8, seed=7, save_png=False, models=models)
+        b = sample_from_npz(clip_npz, orbax_ckpt, str(tmp_path / "b"),
+                            steps=8, seed=7, save_png=False, models=models)
+        np.testing.assert_array_equal(np.load(a)["mel"], np.load(b)["mel"])
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+class TestTorchCheckpointPath:
+    def test_sample_from_reference_torch_ckpt(self, clip_npz, tmp_path):
+        torch = pytest.importorskip("torch")
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from models.embedding import CondProjection as TCP
+        from models.unet1d_ultimate import UNet1D_ultimate as TUNet
+
+        torch.manual_seed(0)
+        tm = TUNet(in_dim=80, base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                   time_emb_dim=16, num_res_blocks=1, mid_blocks=1, attn_heads=2)
+        tp = TCP(motion_dim=234, text_dim=768, out_dim=8)
+        ckpt = {
+            "step": 5, "epoch": 1,
+            "unet": tm.state_dict(), "cond_proj": tp.state_dict(),
+            "ema_unet": tm.state_dict(), "ema_cond_proj": tp.state_dict(),
+            "dataset_mean": -4.0, "dataset_std": 2.0,
+        }
+        pt = str(tmp_path / "ref.pt")
+        torch.save(ckpt, pt)
+
+        out = sample_from_npz(
+            clip_npz, pt, str(tmp_path / "out"),
+            steps=8, guidance_weight=1.0, save_png=False, cfg=CFG,
+        )
+        d = np.load(out)
+        assert d["mel"].shape == (80, 48)
+        assert np.isfinite(d["mel"]).all()
