@@ -1,0 +1,149 @@
+"""Vocoder tests: filter correctness, anti-aliasing behavior, generator
+shapes, and torch-checkpoint conversion structure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lm2a_tpu.vocoder import (
+    BIGVGAN_BASE_22KHZ_80BAND,
+    BigVGANGenerator,
+    VocoderConfig,
+    convert_bigvgan,
+    downsample2x,
+    kaiser_sinc_filter1d,
+    upsample2x,
+)
+
+TINY = VocoderConfig(
+    upsample_rates=(4, 2),
+    upsample_kernel_sizes=(8, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3, 5),
+    resblock_dilation_sizes=((1, 2), (1, 2)),
+)
+
+
+class TestFilters:
+    def test_kaiser_window_matches_scipy(self):
+        from scipy.signal.windows import kaiser as scipy_kaiser
+
+        from lm2a_tpu.vocoder.filters import kaiser_beta, kaiser_window
+
+        beta = kaiser_beta(6, 4 * 0.3)
+        ours = kaiser_window(12, beta)
+        ref = scipy_kaiser(12, beta, sym=True)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+    def test_filter_unit_dc_gain(self):
+        f = kaiser_sinc_filter1d(0.25, 0.3, 12)
+        assert f.sum() == pytest.approx(1.0, abs=1e-6)
+        np.testing.assert_allclose(f, f[::-1], rtol=1e-6)  # symmetric (even K)
+
+    def test_upsample_preserves_lowband_tone(self):
+        """A low-frequency tone survives 2x up / 2x down nearly unchanged."""
+        t = np.arange(512) / 512
+        x = np.sin(2 * np.pi * 8 * t).astype(np.float32)[None, :, None]
+        up = upsample2x(jnp.asarray(x))
+        assert up.shape == (1, 1024, 1)
+        down = np.asarray(downsample2x(up))
+        assert down.shape == (1, 512, 1)
+        # ignore boundary taps
+        np.testing.assert_allclose(down[0, 16:-16, 0], x[0, 16:-16, 0], atol=2e-2)
+
+    def test_upsample_is_bandlimited(self):
+        """After 2x upsampling, the image band (above old Nyquist) is tiny."""
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 1024, 1)).astype(np.float32)
+        up = np.asarray(upsample2x(jnp.asarray(x)))[0, :, 0]
+        spec = np.abs(np.fft.rfft(up * np.hanning(len(up))))
+        n = len(spec)
+        low = spec[: n // 2].mean()
+        high = spec[int(n * 0.6) :].mean()
+        assert high < 0.05 * low
+
+
+class TestGenerator:
+    def test_output_shape_and_range(self):
+        model = BigVGANGenerator(cfg=TINY)
+        mel = jax.random.normal(jax.random.key(0), (2, 24, 80))
+        params = model.init(jax.random.key(1), mel)
+        wav = model.apply(params, mel)
+        assert wav.shape == (2, 24 * TINY.hop)  # hop = 4*2 = 8
+        assert float(jnp.max(jnp.abs(wav))) <= 1.0
+
+    def test_hop_matches_mel_config(self):
+        assert VocoderConfig().hop == 256
+        assert BIGVGAN_BASE_22KHZ_80BAND.hop == 256
+
+
+class TestConvert:
+    def _fake_torch_sd(self, cfg):
+        """Weight-normed generator state dict with the NVIDIA key layout."""
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def conv(prefix, cout, cin, k):
+            v = rng.standard_normal((cout, cin, k)).astype(np.float32)
+            sd[prefix + ".weight_g"] = np.linalg.norm(
+                v.reshape(cout, -1), axis=1
+            ).reshape(cout, 1, 1) * 0.5
+            sd[prefix + ".weight_v"] = v
+            sd[prefix + ".bias"] = rng.standard_normal(cout).astype(np.float32)
+
+        def convt(prefix, cin, cout, k):
+            v = rng.standard_normal((cin, cout, k)).astype(np.float32)
+            sd[prefix + ".weight_g"] = np.linalg.norm(
+                v.reshape(cin, -1), axis=1
+            ).reshape(cin, 1, 1) * 0.5
+            sd[prefix + ".weight_v"] = v
+            sd[prefix + ".bias"] = rng.standard_normal(cout).astype(np.float32)
+
+        def snake(prefix, ch):
+            sd[prefix + ".alpha"] = rng.standard_normal(ch).astype(np.float32)
+            sd[prefix + ".beta"] = rng.standard_normal(ch).astype(np.float32)
+
+        ch0 = cfg.upsample_initial_channel
+        conv("conv_pre", ch0, cfg.num_mels, 7)
+        ch = ch0
+        nk = len(cfg.resblock_kernel_sizes)
+        for i, (r, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            convt(f"ups.{i}.0", ch, ch // 2, k)
+            ch //= 2
+            for j, (rk, dil) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                rb = f"resblocks.{i * nk + j}"
+                for m in range(len(dil)):
+                    conv(f"{rb}.convs1.{m}", ch, ch, rk)
+                    conv(f"{rb}.convs2.{m}", ch, ch, rk)
+                    snake(f"{rb}.activations.{2 * m}.act", ch)
+                    snake(f"{rb}.activations.{2 * m + 1}.act", ch)
+        snake("activation_post.act", ch)
+        conv("conv_post", 1, ch, 7)
+        return sd
+
+    def test_converted_params_load_and_run(self):
+        model = BigVGANGenerator(cfg=TINY)
+        sd = self._fake_torch_sd(TINY)
+        params = convert_bigvgan(sd, TINY)
+        # structure must match the module's own init exactly
+        mel = jnp.zeros((1, 16, 80))
+        ref_params = model.init(jax.random.key(0), mel)
+        ref_shapes = jax.tree.map(lambda a: a.shape, ref_params)
+        got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+        assert ref_shapes == got_shapes
+        wav = model.apply(params, mel)
+        assert wav.shape == (1, 16 * TINY.hop)
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_weight_norm_folding(self):
+        from lm2a_tpu.vocoder.convert import _fold_weight_norm
+
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((4, 3, 5)).astype(np.float32)
+        g = np.full((4, 1, 1), 2.0, dtype=np.float32)
+        w = _fold_weight_norm({"x.weight_g": g, "x.weight_v": v}, "x")
+        norms = np.linalg.norm(w.reshape(4, -1), axis=1)
+        np.testing.assert_allclose(norms, 2.0, rtol=1e-5)
