@@ -1,0 +1,180 @@
+"""Evaluation-layer tests: mel metrics, MFCC chain, set metrics, beat
+tracking, and the wav-domain orchestrator."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lm2a_tpu.eval import (
+    compute_beat_metrics,
+    compute_fad,
+    compute_js_kl,
+    compute_metrics,
+    compute_ndb,
+    compute_pairwise_cosine,
+    compute_va_metrics,
+    evaluate_all,
+    frechet_distance,
+    match_beats,
+    mfcc,
+    ssim_1d_channels,
+    track_beats,
+)
+from lm2a_tpu.utils.audio import write_wav
+
+SR = 22050
+
+
+class TestMelMetrics:
+    def test_identical_is_perfect(self):
+        rng = np.random.default_rng(0)
+        mel = rng.normal(size=(80, 100))
+        m = compute_metrics(mel, mel)
+        assert m["mse"] == 0.0
+        assert m["ssim"] == pytest.approx(1.0, abs=1e-6)
+        assert m["avg_cos_sim"] == pytest.approx(1.0, abs=1e-6)
+        assert m["mean_error"] == 0.0 and m["std_error"] == 0.0
+
+    def test_noise_degrades_monotonically(self):
+        rng = np.random.default_rng(1)
+        mel = rng.normal(size=(80, 100))
+        small = compute_metrics(mel, mel + 0.1 * rng.normal(size=mel.shape))
+        big = compute_metrics(mel, mel + 1.0 * rng.normal(size=mel.shape))
+        assert small["mse"] < big["mse"]
+        assert small["ssim"] > big["ssim"]
+        assert small["snr"] > big["snr"]
+
+    def test_length_mismatch_truncates(self):
+        mel = np.zeros((80, 100))
+        m = compute_metrics(mel, np.zeros((80, 90)))
+        assert m["mse"] == 0.0
+
+    def test_ssim_bounds(self):
+        rng = np.random.default_rng(2)
+        a = np.clip(rng.normal(size=(4, 64)), 0, 1)
+        b = np.clip(rng.normal(size=(4, 64)), 0, 1)
+        assert -1.0 <= ssim_1d_channels(a, b) <= 1.0
+
+
+class TestMFCC:
+    def test_shape_and_determinism(self):
+        rng = np.random.default_rng(0)
+        y = rng.normal(size=SR).astype(np.float32) * 0.1
+        m = mfcc(y, sr=SR, n_mfcc=40)
+        assert m.shape[0] == 40
+        assert m.shape[1] == 1 + SR // 512
+        np.testing.assert_array_equal(m, mfcc(y, sr=SR, n_mfcc=40))
+
+    def test_distinguishes_tones(self):
+        t = np.arange(SR) / SR
+        a = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+        b = np.sin(2 * np.pi * 3000 * t).astype(np.float32)
+        ma = mfcc(a).mean(axis=1)
+        mb = mfcc(b).mean(axis=1)
+        assert np.abs(ma - mb).max() > 1.0
+
+
+class TestSetMetrics:
+    def _wavs(self, tmp_path, n=6, shift=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        paths = []
+        for i in range(n):
+            f0 = 200 + 50 * i + shift
+            t = np.arange(SR) / SR
+            y = (0.4 * np.sin(2 * np.pi * f0 * t)
+                 + 0.05 * rng.standard_normal(SR)).astype(np.float32)
+            p = str(tmp_path / f"w{shift}_{i}.wav")
+            write_wav(p, y, SR)
+            paths.append(p)
+        return paths
+
+    def test_frechet_identity_zero(self):
+        mu = np.array([1.0, 2.0])
+        s = np.array([[1.0, 0.2], [0.2, 1.0]])
+        assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-6)
+
+    def test_fad_orders_distributions(self, tmp_path):
+        gt = self._wavs(tmp_path, shift=0.0, seed=0)
+        close = self._wavs(tmp_path, shift=5.0, seed=1)
+        far = self._wavs(tmp_path, shift=800.0, seed=2)
+        fad_close, _ = compute_fad(gt, close)
+        fad_far, _ = compute_fad(gt, far)
+        assert 0 <= fad_close < fad_far
+
+    def test_ndb_and_jskl_run(self, tmp_path):
+        gt = self._wavs(tmp_path, shift=0.0, seed=3)
+        gen = self._wavs(tmp_path, shift=2.0, seed=4)
+        ndb = compute_ndb(gt, gen, K=3)
+        assert 0 <= ndb["ndb"] <= 3
+        jk = compute_js_kl(gt, gen)
+        assert jk["js_mean"] >= 0 and jk["kl_mean"] >= 0
+
+    def test_pairwise_cosine_self_is_one(self, tmp_path):
+        files = self._wavs(tmp_path, n=3)
+        r = compute_pairwise_cosine(files, files)
+        np.testing.assert_allclose(r["per_sample"], 1.0, atol=1e-9)
+
+    def test_va(self):
+        gt = [(0.5, 0.5), (1.0, 0.0)]
+        gen = [(0.5, 0.5), (0.0, 1.0)]
+        r = compute_va_metrics(gt, gen)
+        assert r["per_sample_dist"][0] == pytest.approx(0.0)
+        assert r["per_sample_cosine"][1] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestBeat:
+    def _click_track(self, bpm=120.0, seconds=6.0):
+        n = int(seconds * SR)
+        y = np.zeros(n, dtype=np.float32)
+        period = int(SR * 60.0 / bpm)
+        click = np.sin(2 * np.pi * 1000 * np.arange(400) / SR).astype(np.float32)
+        click *= np.exp(-np.arange(400) / 60.0)
+        for start in range(0, n - 400, period):
+            y[start : start + 400] += click
+        return y
+
+    def test_tracks_click_tempo(self):
+        beats = track_beats(self._click_track(120.0), sr=SR)
+        assert len(beats) >= 8
+        intervals = np.diff(beats)
+        med = np.median(intervals)
+        assert med == pytest.approx(0.5, abs=0.06)  # 120 BPM -> 0.5 s
+
+    def test_match_beats_tolerance(self):
+        ref = np.array([1.0, 2.0, 3.0])
+        est = np.array([1.03, 2.2, 3.01])
+        matches, unref, unest = match_beats(ref, est, tol=0.07)
+        assert len(matches) == 2
+        assert unref == [1] and unest == [1]
+
+    def test_metrics_perfect_self(self, tmp_path):
+        p = str(tmp_path / "c.wav")
+        write_wav(p, self._click_track(), SR)
+        m = compute_beat_metrics([p], [p])
+        assert m["f1_mean"] == pytest.approx(1.0)
+        assert m["err_mean"] == pytest.approx(0.0)
+
+
+class TestEvaluateAll:
+    def test_orchestrator(self, tmp_path):
+        rng = np.random.default_rng(0)
+        root = tmp_path / "evaluation"
+        for i in range(3):
+            d = root / f"sample_{i}"
+            d.mkdir(parents=True)
+            t = np.arange(2 * SR) / SR
+            gt = (0.3 * np.sin(2 * np.pi * (300 + 40 * i) * t)).astype(np.float32)
+            gen = gt + 0.05 * rng.standard_normal(len(gt)).astype(np.float32)
+            write_wav(str(d / "gt.wav"), gt, SR)
+            write_wav(str(d / "gen.wav"), gen, SR)
+
+        out = tmp_path / "results"
+        final = evaluate_all(str(root), str(out), use_clap=False)
+        assert final["metadata"]["total_samples"] == 3
+        assert final["metadata"]["acoustic_similarity_mean"] > 0.9
+        assert final["batch_metrics"]["fad_overall"] is not None
+        saved = json.load(open(out / "evaluation_results.json"))
+        assert set(saved) == {"metadata", "batch_metrics", "per_sample_metrics"}
+        assert len(saved["per_sample_metrics"]) == 3
