@@ -1,0 +1,117 @@
+"""CLI: train the diffusion model.
+
+Contract parity with ``/root/reference/train.py:273-306`` (same flags and
+defaults: bs 16, lr 2e-4, wd 1e-4, 500 epochs, T 1000, cond 128, base 256,
+mults 1,2,4, time-emb 256, EMA 0.999, grad-clip 1.0, optional step-decay
+lists), with the deliberate upgrades: ``--resume`` actually resumes (the
+reference ignored ``--ckpt``), ``--arch`` selects ultimate/v1, and mixed
+precision is bf16 (``--amp`` kept as an accepted no-op alias for drop-in
+script compatibility).
+"""
+
+import argparse
+
+
+def build_parser(p=None):
+    p = p or argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--npz_dir", required=True, help="train split npz dir (or pack dir)")
+    p.add_argument("--val_npz_dir", default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--save_dir", default="checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in save_dir")
+    p.add_argument("--save_interval", type=int, default=1000)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--cond_dim", type=int, default=128)
+    p.add_argument("--base_dim", type=int, default=256)
+    p.add_argument("--dim_mults", default="1,2,4")
+    p.add_argument("--time_emb_dim", type=int, default=256)
+    p.add_argument("--num_res_blocks", type=int, default=2)
+    p.add_argument("--mid_blocks", type=int, default=3)
+    p.add_argument("--attn_heads", type=int, default=8)
+    p.add_argument("--arch", default="ultimate", choices=["ultimate", "v1"])
+    p.add_argument("--dataset_mean", type=float, default=None)
+    p.add_argument("--dataset_std", type=float, default=None)
+    p.add_argument("--val_cap_batches", type=int, default=20)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--cond_drop_prob", type=float, default=0.2)
+    p.add_argument("--lr_decay_steps", type=str, default="")
+    p.add_argument("--lr_decay_factors", type=str, default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--amp", action="store_true",
+                   help="accepted for reference-script compatibility "
+                        "(bf16 is the TPU mixed-precision default)")
+    p.add_argument("--max_steps", type=int, default=None, help="debug cap")
+    p.add_argument("--no_tensorboard", action="store_true")
+    return p
+
+
+def config_from_args(args):
+    from lm2a_tpu.core.config import (
+        DiffusionConfig,
+        LM2AConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+
+    decay_steps = tuple(map(int, args.lr_decay_steps.split(","))) \
+        if args.lr_decay_steps.strip() else ()
+    decay_factors = tuple(map(float, args.lr_decay_factors.split(","))) \
+        if args.lr_decay_factors.strip() else ()
+    return LM2AConfig(
+        model=ModelConfig(
+            arch=args.arch,
+            base_dim=args.base_dim,
+            dim_mults=tuple(map(int, args.dim_mults.split(","))),
+            cond_dim=args.cond_dim,
+            time_emb_dim=args.time_emb_dim,
+            num_res_blocks=args.num_res_blocks,
+            mid_blocks=args.mid_blocks,
+            attn_heads=args.attn_heads,
+        ),
+        diffusion=DiffusionConfig(timesteps=args.timesteps),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            epochs=args.epochs,
+            ema_decay=args.ema_decay,
+            grad_clip=args.grad_clip,
+            cond_drop_prob=args.cond_drop_prob,
+            save_interval=args.save_interval,
+            log_interval=args.log_interval,
+            val_cap_batches=args.val_cap_batches,
+            seed=args.seed,
+            lr_decay_steps=decay_steps,
+            lr_decay_factors=decay_factors,
+            compute_dtype=args.compute_dtype,
+        ),
+    )
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    cfg = config_from_args(args)
+    from lm2a_tpu.training import train
+
+    print("train config:", cfg)
+    res = train(
+        cfg, args.npz_dir, args.save_dir,
+        val_npz_dir=args.val_npz_dir,
+        dataset_mean=args.dataset_mean, dataset_std=args.dataset_std,
+        resume=args.resume, max_steps=args.max_steps,
+        use_tensorboard=not args.no_tensorboard,
+    )
+    print(f"training done: step={res.final_step} loss={res.final_loss:.6f} "
+          f"checkpoints in {res.ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()
