@@ -109,19 +109,40 @@ def pack_dataset(npz_dir: str, out_dir: str, align_mode: str = "interp") -> str:
 
 
 class PackedDataset:
-    """Memory-mapped packed split; batches are one fancy-index per array."""
+    """Memory-mapped packed split; batches are one fancy-index per array.
 
-    def __init__(self, pack_dir: str):
+    When the native C++ gatherer (``native/lm2a_loader.cc``) builds, batch
+    assembly moves off the Python thread: the BatchIterator pipelines a
+    submit/wait double-buffer so batch k+1 is gathered while batch k trains.
+    """
+
+    def __init__(self, pack_dir: str, use_native: bool = True):
+        self.pack_dir = pack_dir
         with open(os.path.join(pack_dir, PACK_META)) as f:
             self.meta = json.load(f)
         self.mel = np.load(os.path.join(pack_dir, "mel.npy"), mmap_mode="r")
         self.motion = np.load(os.path.join(pack_dir, "motion.npy"), mmap_mode="r")
         self.lyrics = np.load(os.path.join(pack_dir, "lyrics.npy"), mmap_mode="r")
+        self._native = None
+        if use_native:
+            try:
+                from lm2a_tpu.data.native_loader import NativeGather, native_available
+
+                if native_available():
+                    self._native = NativeGather(pack_dir)
+            except Exception:
+                self._native = None
+
+    @property
+    def native(self):
+        return self._native
 
     def __len__(self) -> int:
         return self.mel.shape[0]
 
     def gather(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._native is not None:
+            return self._native.gather(np.asarray(idx))
         return {
             "mel": np.asarray(self.mel[idx]),
             "motion": np.asarray(self.motion[idx]),
@@ -154,7 +175,23 @@ class BatchIterator:
             rng.shuffle(order)
         self.epoch += 1
         bs = self.batch_size
-        for start in range(0, n - bs + 1, bs):
+        starts = list(range(0, n - bs + 1, bs))
+        native = (
+            self.dataset.native
+            if isinstance(self.dataset, PackedDataset)
+            else None
+        )
+        if native is not None and starts:
+            # pipeline: the C++ worker gathers batch k+1 while k is consumed
+            native.submit(order[starts[0] : starts[0] + bs])
+            for i, start in enumerate(starts):
+                out = native.wait()
+                if i + 1 < len(starts):
+                    nxt = starts[i + 1]
+                    native.submit(order[nxt : nxt + bs])
+                yield out
+            return
+        for start in starts:
             idx = order[start : start + bs]
             if isinstance(self.dataset, PackedDataset):
                 yield self.dataset.gather(idx)

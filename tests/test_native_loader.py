@@ -1,0 +1,76 @@
+"""Native C++ batch gatherer: build, correctness vs numpy, async pipeline."""
+
+import numpy as np
+import pytest
+
+from lm2a_tpu.data import BatchIterator, PackedDataset, Sample, pack_dataset, save_sample
+from lm2a_tpu.data.native_loader import NativeGather, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="g++ unavailable or native build failed"
+)
+
+
+@pytest.fixture
+def pack_dir(tmp_path):
+    src = tmp_path / "npz"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        save_sample(str(src / f"sample_{i:08d}.npz"), Sample(
+            mel=rng.normal(size=(80, 20)).astype(np.float32),
+            motion=rng.normal(size=(8, 234)).astype(np.float32),
+            lyrics=rng.normal(size=(8, 768)).astype(np.float32),
+        ))
+    out = str(tmp_path / "pack")
+    pack_dataset(str(src), out)
+    return out
+
+
+class TestNativeGather:
+    def test_matches_numpy(self, pack_dir):
+        ng = NativeGather(pack_dir)
+        ds = PackedDataset(pack_dir, use_native=False)
+        idx = np.array([7, 0, 3, 3])
+        got = ng.gather(idx)
+        want = ds.gather(idx)
+        for k in ("mel", "motion", "lyrics"):
+            np.testing.assert_array_equal(got[k], want[k])
+        ng.close()
+
+    def test_rows_and_shapes(self, pack_dir):
+        ng = NativeGather(pack_dir)
+        assert ng.rows == 10
+        assert ng.shapes["mel"] == (20, 80)
+        assert ng.shapes["lyrics"] == (20, 768)
+        ng.close()
+
+    def test_async_pipeline(self, pack_dir):
+        ng = NativeGather(pack_dir)
+        ds = PackedDataset(pack_dir, use_native=False)
+        idx1 = np.array([1, 2])
+        idx2 = np.array([8, 9])
+        ng.submit(idx1)
+        out1 = ng.wait()
+        ng.submit(idx2)
+        out2 = ng.wait()
+        np.testing.assert_array_equal(out1["mel"], ds.gather(idx1)["mel"])
+        np.testing.assert_array_equal(out2["lyrics"], ds.gather(idx2)["lyrics"])
+        ng.close()
+
+    def test_out_of_range_rejected(self, pack_dir):
+        ng = NativeGather(pack_dir)
+        with pytest.raises(IndexError):
+            ng.gather(np.array([99]))
+        ng.close()
+
+    def test_batch_iterator_uses_native_pipeline(self, pack_dir):
+        ds_native = PackedDataset(pack_dir, use_native=True)
+        ds_numpy = PackedDataset(pack_dir, use_native=False)
+        assert ds_native.native is not None
+        a = list(BatchIterator(ds_native, 4, shuffle=True, seed=3))
+        b = list(BatchIterator(ds_numpy, 4, shuffle=True, seed=3))
+        assert len(a) == len(b) == 2
+        for ba, bb in zip(a, b):
+            for k in ("mel", "motion", "lyrics"):
+                np.testing.assert_array_equal(ba[k], bb[k])
