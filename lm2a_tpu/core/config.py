@@ -57,6 +57,9 @@ class ModelConfig:
     dropout: float = 0.1
     motion_dim: int = 78 * 3  # pose(72)+Th(3)+Rh(3), x3 for [pos, vel, acc]
     text_dim: int = 768  # RoBERTa-base hidden size
+    # Route attention cores through the Pallas flash kernel (VMEM-resident
+    # scores); numerically equivalent to the XLA path within fp tolerance.
+    fused_attention: bool = False
 
 
 @dataclass(frozen=True)

@@ -25,11 +25,17 @@ Dtype = Any
 
 
 class MultiheadAttention(nn.Module):
-    """Batched multi-head attention over (B, T, E) with (B, S, E) keys."""
+    """Batched multi-head attention over (B, T, E) with (B, S, E) keys.
+
+    ``fused=True`` routes the attention core through the Pallas flash kernel
+    (``lm2a_tpu.ops.pallas_attention``), which keeps scores/probs in VMEM
+    instead of materializing (B, h, T, S) tensors in HBM.
+    """
 
     embed_dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, query, key, value):
@@ -45,11 +51,16 @@ class MultiheadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(hd, dtype=q.dtype)
-        )
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if self.fused:
+            from lm2a_tpu.ops.pallas_attention import attention_core
+
+            out = attention_core(q, k, v)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(hd, dtype=q.dtype)
+            )
+            probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], -1, e)
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
 
@@ -66,6 +77,7 @@ class CrossAttentionFusion(nn.Module):
     cond_dim: int = 128
     num_heads: int = 4
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, mel_hidden, motion_f, text_f):
@@ -76,10 +88,12 @@ class CrossAttentionFusion(nn.Module):
             text_f.astype(self.dtype)
         )
         attn_motion = MultiheadAttention(
-            self.mel_dim, self.num_heads, dtype=self.dtype, name="attn_motion"
+            self.mel_dim, self.num_heads, dtype=self.dtype, fused=self.fused,
+            name="attn_motion",
         )(mel_hidden, motion_kv, motion_kv)
         attn_text = MultiheadAttention(
-            self.mel_dim, self.num_heads, dtype=self.dtype, name="attn_text"
+            self.mel_dim, self.num_heads, dtype=self.dtype, fused=self.fused,
+            name="attn_text",
         )(mel_hidden, text_kv, text_kv)
         fused = jnp.concatenate([attn_motion, attn_text], axis=-1)
         return nn.Dense(self.mel_dim, dtype=self.dtype, name="fuse_proj")(fused)

@@ -28,6 +28,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             attn_heads=cfg.attn_heads,
             dropout=cfg.dropout,
             dtype=dtype,
+            fused_attention=cfg.fused_attention,
         )
     if cfg.arch == "v1":
         return UNet1D(
@@ -38,6 +39,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             time_emb_dim=cfg.time_emb_dim,
             attn_heads=cfg.attn_heads,
             dtype=dtype,
+            fused_attention=cfg.fused_attention,
         )
     raise ValueError(f"unknown arch {cfg.arch!r}; use 'ultimate' or 'v1'")
 

@@ -96,6 +96,7 @@ class ResBlockUltimate(nn.Module):
     num_heads: int = 4
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, motion_f=None, text_f=None, *, deterministic=True):
@@ -119,6 +120,7 @@ class ResBlockUltimate(nn.Module):
                 cond_dim=self.cond_dim,
                 num_heads=self.num_heads,
                 dtype=self.dtype,
+                fused=self.fused_attention,
                 name="cross_attn",
             )(h, motion_f, text_f)
 
@@ -140,6 +142,7 @@ class UNet1DUltimate(nn.Module):
     attn_heads: int = 8
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -165,6 +168,7 @@ class UNet1DUltimate(nn.Module):
                 num_heads=self.attn_heads,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                fused_attention=self.fused_attention,
                 name=name,
             )
 
@@ -213,6 +217,7 @@ class ResBlockV1(nn.Module):
     cond_dim: int = 128
     num_heads: int = 4
     dtype: Dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, motion_f, text_f):
@@ -225,7 +230,8 @@ class ResBlockV1(nn.Module):
         h = nn.Conv(self.channels, (3,), padding="SAME", dtype=self.dtype, name="conv2")(h)
         h = CrossAttentionFusion(
             mel_dim=self.channels, cond_dim=self.cond_dim,
-            num_heads=self.num_heads, dtype=self.dtype, name="cross_attn",
+            num_heads=self.num_heads, dtype=self.dtype,
+            fused=self.fused_attention, name="cross_attn",
         )(h, motion_f, text_f)
         return x + h
 
@@ -240,6 +246,7 @@ class UNet1D(nn.Module):
     time_emb_dim: int = 256
     attn_heads: int = 4
     dtype: Dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t, motion_f=None, text_f=None, *, deterministic=True):
@@ -254,7 +261,8 @@ class UNet1D(nn.Module):
         for i, dim in enumerate(dims):
             h = ResBlockV1(
                 prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
-                dtype=self.dtype, name=f"down_{i}_res",
+                dtype=self.dtype, fused_attention=self.fused_attention,
+                name=f"down_{i}_res",
             )(h, t_emb, motion_f, text_f)
             skips.append(h)
             skip_channels.append(prev_dim)
@@ -266,7 +274,8 @@ class UNet1D(nn.Module):
 
         h = ResBlockV1(
             prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
-            dtype=self.dtype, name="mid_res",
+            dtype=self.dtype, fused_attention=self.fused_attention,
+            name="mid_res",
         )(h, t_emb, motion_f, text_f)
 
         for i, (dim, skip_ch) in enumerate(zip(reversed(dims), reversed(skip_channels))):
@@ -280,7 +289,8 @@ class UNet1D(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = ResBlockV1(
                 dim + skip_ch, cond_dim=self.cond_dim, num_heads=self.attn_heads,
-                dtype=self.dtype, name=f"up_{i}_res",
+                dtype=self.dtype, fused_attention=self.fused_attention,
+                name=f"up_{i}_res",
             )(h, t_emb, motion_f, text_f)
             prev_dim = dim + skip_ch
 
