@@ -42,6 +42,7 @@ from lm2a_tpu.training.train_step import (
     make_train_step,
 )
 from lm2a_tpu.utils.logging import TrainLogger
+from lm2a_tpu.utils.profiling import StepTimer
 
 
 def _open_dataset(path: str, align_mode: str):
@@ -68,6 +69,8 @@ def train(
     mesh=None,
     max_steps: Optional[int] = None,
     use_tensorboard: bool = True,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (20, 30),
 ) -> TrainResult:
     mesh = mesh if mesh is not None else make_mesh()
     tc = cfg.train
@@ -116,6 +119,7 @@ def train(
 
     logger = TrainLogger(save_dir, use_tensorboard=use_tensorboard)
     root_key = jax.random.key(tc.seed + 1)
+    timer = StepTimer(report_every=max(tc.log_interval * 10, 100))
 
     step = int(state.step)
     pending_loss = None
@@ -134,10 +138,19 @@ def train(
         t0 = time.time()
         it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
         for batch in device_prefetch(it, mesh=mesh):
+            if profile_dir is not None and step == profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
             step_key = jax.random.fold_in(root_key, step)
             state, loss = train_step(state, batch, step_key)
             pending_loss = loss  # async: don't block on the device each step
+            if profile_dir is not None and step == profile_steps[1]:
+                jax.block_until_ready(pending_loss)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
 
+            ema_dt = timer.tick()
+            if ema_dt is not None:
+                print(f"step time (ema): {ema_dt * 1e3:.2f} ms")
             if step % tc.log_interval == 0:
                 last_loss = float(jax.device_get(pending_loss))
                 logger.log_step(epoch, step, last_loss, float(lr_fn(np.int32(step))))
