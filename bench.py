@@ -86,6 +86,41 @@ def main():
             base = json.load(f)
         vs_baseline = frames_per_sec / base["frames_per_sec"]
 
+    # Secondary metrics (stderr): batched serving throughput and the
+    # mel->wav vocode leg (BASELINE.md config 4). Opt out: BENCH_EXTRAS=0.
+    if os.environ.get("BENCH_EXTRAS", "1") == "1":
+        try:
+            bs = 8
+            mfb = jnp.broadcast_to(motion_f, (bs, T, cfg.cond_dim))
+            tfb = jnp.broadcast_to(text_f, (bs, T, cfg.cond_dim))
+            out = sampler(params, jax.random.key(9), (bs, T, cfg.in_dim), mfb, tfb)
+            out.block_until_ready()
+            t0 = time.perf_counter()
+            out = sampler(params, jax.random.key(10), (bs, T, cfg.in_dim), mfb, tfb)
+            out.block_until_ready()
+            bt = time.perf_counter() - t0
+            log(f"extra: batched sampling B={bs}: {bt:.2f}s/chain -> "
+                f"{bs * T / bt:.0f} frames/sec/chip")
+        except Exception as e:
+            log(f"extra: batched sampling failed: {e}")
+        try:
+            from lm2a_tpu.vocoder import BIGVGAN_22KHZ_80BAND, BigVGANGenerator
+
+            voc = BigVGANGenerator(cfg=BIGVGAN_22KHZ_80BAND, dtype=jnp.bfloat16)
+            mel = jax.random.normal(jax.random.key(11), (1, T, 80), jnp.float32)
+            vparams = jax.jit(voc.init)(jax.random.key(12), mel)
+            vapply = jax.jit(voc.apply)
+            wav = vapply(vparams, mel)
+            wav.block_until_ready()
+            t0 = time.perf_counter()
+            wav = vapply(vparams, mel)
+            wav.block_until_ready()
+            vt = time.perf_counter() - t0
+            log(f"extra: BigVGAN vocode (1, 516, 80) -> {wav.shape}: {vt * 1e3:.1f} ms")
+            log(f"extra: sample+vocode wall-clock per 6s clip: {best + vt:.3f}s")
+        except Exception as e:
+            log(f"extra: vocode bench failed: {e}")
+
     print(json.dumps({
         "metric": "mel_frames_per_sec_ddpm_cfg_1000step",
         "value": round(frames_per_sec, 3),

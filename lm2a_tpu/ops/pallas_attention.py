@@ -39,23 +39,28 @@ def attention_core_reference(q, k, v):
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, head_dim: int):
-    q = q_ref[0].astype(jnp.float32)  # (Tp, hdp)
-    k = k_ref[0].astype(jnp.float32)  # (Sp, hdp)
+    """All heads of one batch element in a single block.
+
+    Blocks are (h, Tp, hd) with the TRUE head dim as the lane axis (no 128
+    padding — padding the contraction to 128 lanes wasted 4x MXU work for
+    the flagship's hd=32 and measured slower than XLA). Scores/probs for all
+    heads stay in VMEM; the batched dot_generals keep the MXU fed across the
+    head dimension.
+    """
+    q = q_ref[0].astype(jnp.float32)  # (h, Tp, hd)
+    k = k_ref[0].astype(jnp.float32)  # (h, Sp, hd)
     v = v_ref[0].astype(jnp.float32)
-    # head_dim is the TRUE (unpadded) head dim; zero-padded lanes contribute
-    # nothing to the dot products but must not inflate the softmax scale.
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-    # mask padded keys so they get zero probability
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (h, Tp, Sp)
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(key_ids < s_valid, scores, -1e30)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     exp = jnp.exp(scores)
     probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        probs, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (h, Tp, hd)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -63,32 +68,30 @@ def _attention_pallas(q, k, v, interpret: bool):
     b, h, t, hd = q.shape
     s = k.shape[2]
     tp, sp = _round_up(t, 8), _round_up(s, 8)
-    hdp = _round_up(hd, 128)
 
-    def pad(x, tgt_t):
-        return jnp.pad(
-            x, ((0, 0), (0, 0), (0, tgt_t - x.shape[2]), (0, hdp - hd))
-        ).reshape(b * h, tgt_t, hdp)
+    def pad_t(x, tgt_t):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, tgt_t - x.shape[2]), (0, 0)))
 
-    qf = pad(q, tp)
-    kf = pad(k, sp)
-    vf = pad(v, sp)
+    qf, kf, vf = pad_t(q, tp), pad_t(k, sp), pad_t(v, sp)
 
     kernel = functools.partial(_attention_kernel, s_valid=s, head_dim=hd)
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, tp, hdp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, hdp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, hdp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, tp, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, sp, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, sp, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tp, hdp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, tp, hd), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, hdp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, hd), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, tp, hdp)[:, :, :t, :hd]
+    return out[:, :, :t, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
