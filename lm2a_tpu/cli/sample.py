@@ -23,12 +23,33 @@ def build_parser(p=None):
     p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_png", action="store_true")
+    p.add_argument("--all", action="store_true",
+                   help="batched generation over every npz in --npz_dir")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="clips per compiled chain in --all mode")
     return p
 
 
 def main(args=None):
     args = build_parser().parse_args(args)
-    from lm2a_tpu.inference import sample_from_npz
+    from lm2a_tpu.inference import sample_batch_from_npz, sample_from_npz
+
+    if args.all:
+        if not args.npz_dir:
+            raise SystemExit("--all needs --npz_dir")
+        files = sorted(
+            os.path.join(args.npz_dir, f)
+            for f in os.listdir(args.npz_dir)
+            if f.endswith(".npz") and f != "motion_stats.npz"
+        )
+        print(f"batched sampling of {len(files)} clips -> {args.out_dir}")
+        written = sample_batch_from_npz(
+            files, args.ckpt, args.out_dir,
+            steps=args.steps, guidance_weight=args.guidance,
+            method=args.method, seed=args.seed, batch_size=args.batch_size,
+        )
+        print(f"wrote {len(written)} files")
+        return
 
     if args.npz:
         npz_path = args.npz

@@ -3,7 +3,9 @@ from lm2a_tpu.inference.sample import (
     FALLBACK_MEL_STD,
     LoadedModels,
     generate_mel,
+    generate_mel_batch,
     load_models,
+    sample_batch_from_npz,
     sample_from_npz,
 )
 
@@ -12,6 +14,8 @@ __all__ = [
     "FALLBACK_MEL_STD",
     "LoadedModels",
     "generate_mel",
+    "generate_mel_batch",
+    "sample_batch_from_npz",
     "load_models",
     "sample_from_npz",
 ]

@@ -16,8 +16,7 @@ can sample from their existing checkpoints on TPU.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from functools import partial
+from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
@@ -46,6 +45,9 @@ class LoadedModels:
     dataset_mean: float
     dataset_std: float
     timesteps: int
+    # jitted sampler cache keyed by (mel_t, steps, guidance, method, batch) —
+    # batch assessment reuses one compiled chain across all clips
+    _samplers: dict = field(default_factory=dict)
 
 
 def load_models(
@@ -117,13 +119,6 @@ def generate_mel(
     text_f). The whole chain is one jitted scan program."""
     cfg = models.cfg
     steps = steps or models.timesteps
-    schedule = make_schedule(
-        DiffusionConfig(
-            timesteps=steps,
-            beta_start=cfg.diffusion.beta_start,
-            beta_end=cfg.diffusion.beta_end,
-        )
-    )
 
     motion_rs = match_len(np.asarray(motion, np.float32), mel_t, mode="interp")
     lyrics_rs = match_len(np.asarray(lyrics, np.float32), mel_t, mode="interp")
@@ -132,23 +127,148 @@ def generate_mel(
 
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
-    def model_fn(x, t, m, l):
-        return models.denoiser.apply(models.unet_params, x, t, m, l)
-
-    sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
-    kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
-
-    @partial(jax.jit, static_argnums=())
-    def run(key, motion_f, text_f):
-        return sampler(
-            model_fn, schedule, key, (batch, mel_t, cfg.model.in_dim),
-            motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+    cache_key = (mel_t, steps, float(guidance_weight), method, batch)
+    run = models._samplers.get(cache_key)
+    if run is None:
+        schedule = make_schedule(
+            DiffusionConfig(
+                timesteps=steps,
+                beta_start=cfg.diffusion.beta_start,
+                beta_end=cfg.diffusion.beta_end,
+            )
         )
+        sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
+        kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
 
-    out = run(jax.random.key(seed), motion_f, text_f)
+        def model_fn_with(params):
+            def model_fn(x, t, m, l):
+                return models.denoiser.apply(params, x, t, m, l)
+
+            return model_fn
+
+        @jax.jit
+        def run(params, key, motion_f, text_f):
+            return sampler(
+                model_fn_with(params), schedule, key,
+                (batch, mel_t, cfg.model.in_dim),
+                motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+            )
+
+        models._samplers[cache_key] = run
+
+    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f)
     out = np.asarray(out) * models.dataset_std + models.dataset_mean
     mel = out.transpose(0, 2, 1)  # (B, 80, T) npz layout
     return mel, np.asarray(motion_f), np.asarray(text_f), motion_rs, lyrics_rs
+
+
+def generate_mel_batch(
+    models: LoadedModels,
+    motions,  # list of (T_m, 234)
+    lyrics_list,  # list of (T_l, 768)
+    mel_t: int,
+    steps: Optional[int] = None,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    seed: int = 0,
+):
+    """True multi-clip batched generation: different conditions per row.
+
+    All clips share one compiled sampler chain (one scan over the batch), so
+    per-clip cost amortizes to chain_time / B — the serving path.
+    Returns (mel (B, 80, mel_t), motion_rs list, lyrics_rs list).
+    """
+    cfg = models.cfg
+    steps = steps or models.timesteps
+    b = len(motions)
+    motion_rs = [match_len(np.asarray(m, np.float32), mel_t, "interp") for m in motions]
+    lyrics_rs = [match_len(np.asarray(l, np.float32), mel_t, "interp") for l in lyrics_list]
+    motion_b = jnp.asarray(np.stack(motion_rs))
+    lyrics_b = jnp.asarray(np.stack(lyrics_rs))
+    motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
+
+    cache_key = (mel_t, steps, float(guidance_weight), method, b)
+    run = models._samplers.get(cache_key)
+    if run is None:
+        schedule = make_schedule(
+            DiffusionConfig(
+                timesteps=steps,
+                beta_start=cfg.diffusion.beta_start,
+                beta_end=cfg.diffusion.beta_end,
+            )
+        )
+        sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
+        kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
+
+        @jax.jit
+        def run(params, key, motion_f, text_f):
+            def model_fn(x, t, m, l):
+                return models.denoiser.apply(params, x, t, m, l)
+
+            return sampler(
+                model_fn, schedule, key, (b, mel_t, cfg.model.in_dim),
+                motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+            )
+
+        models._samplers[cache_key] = run
+
+    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f)
+    out = np.asarray(out) * models.dataset_std + models.dataset_mean
+    return out.transpose(0, 2, 1), motion_rs, lyrics_rs
+
+
+def sample_batch_from_npz(
+    npz_paths,
+    ckpt_path: str,
+    out_dir: str,
+    steps: int = 1000,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    seed: int = 0,
+    cfg: Optional[LM2AConfig] = None,
+    models: Optional[LoadedModels] = None,
+    batch_size: int = 8,
+):
+    """Batched multi-clip generation over a list of npz files.
+
+    Clips are grouped by mel length and generated ``batch_size`` at a time in
+    one compiled chain each; writes a ``<base>_gen.npz`` per clip.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if models is None:
+        models = load_models(ckpt_path, cfg=cfg)
+
+    by_len: dict = {}
+    for p in npz_paths:
+        s = load_sample(p)
+        mel_t = normalize_mel_layout(s.mel).shape[1]
+        by_len.setdefault(mel_t, []).append((p, s))
+
+    written = []
+    for mel_t, group in by_len.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i : i + batch_size]
+            gen, motion_rs, lyrics_rs = generate_mel_batch(
+                models,
+                [s.motion for _, s in chunk],
+                [s.lyrics for _, s in chunk],
+                mel_t,
+                steps=steps, guidance_weight=guidance_weight,
+                method=method, seed=seed + i,
+            )
+            for j, (p, s) in enumerate(chunk):
+                base = os.path.splitext(os.path.basename(p))[0]
+                out_npz = os.path.join(out_dir, base + "_gen.npz")
+                np.savez_compressed(
+                    out_npz,
+                    mel=gen[j].astype(np.float32),
+                    motion=motion_rs[j],
+                    lyrics=lyrics_rs[j],
+                    sr=s.sr,
+                    hop_length=s.hop_length,
+                )
+                written.append(out_npz)
+    return written
 
 
 def sample_from_npz(

@@ -12,6 +12,13 @@ Sizes here are small enough that no inner tiling is needed (516x516 fp32
 scores = ~1 MB << 16 MB VMEM), so this is a single-block flash kernel, not a
 streaming one. Gradients: a custom VJP recomputes through the plain-XLA
 reference implementation (standard rematerialization trade).
+
+Measured on one v5e chip (chained-scan forward, B=2, T=516, flagship UNet):
+XLA attention path 1.99 ms; kernel v1 (grid B*h, head_dim padded to 128
+lanes) 2.35 ms; kernel v2 (head-tiled blocks, true-hd lanes) 2.35 ms. At
+hd=32 XLA's own fusion already wins, so ``fused_attention`` stays opt-in
+(it becomes interesting for longer sequences / larger head dims, where the
+(T, S) probs no longer fit XLA's fusion budget).
 """
 
 from __future__ import annotations
@@ -64,10 +71,25 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, head_dim: int
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _heads_per_block(h: int, tp: int, sp: int) -> int:
+    """Largest divisor of h whose score tiles fit the VMEM budget.
+
+    Live fp32 score-sized buffers (scores, shifted, exp, probs) dominate the
+    stack; keep ~4 of them under ~8 MB to leave room for q/k/v/out tiles.
+    """
+    score_bytes = tp * sp * 4
+    budget = 8 * 1024 * 1024
+    for cand in range(h, 0, -1):
+        if h % cand == 0 and 4 * cand * score_bytes <= budget:
+            return cand
+    return 1
+
+
 def _attention_pallas(q, k, v, interpret: bool):
     b, h, t, hd = q.shape
     s = k.shape[2]
     tp, sp = _round_up(t, 8), _round_up(s, 8)
+    hpb = _heads_per_block(h, tp, sp)
 
     def pad_t(x, tgt_t):
         return jnp.pad(x, ((0, 0), (0, 0), (0, tgt_t - x.shape[2]), (0, 0)))
@@ -77,16 +99,16 @@ def _attention_pallas(q, k, v, interpret: bool):
     kernel = functools.partial(_attention_kernel, s_valid=s, head_dim=hd)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h // hpb),
         in_specs=[
-            pl.BlockSpec((1, h, tp, hd), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, hpb, tp, hd), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, sp, hd), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, hpb, sp, hd), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, sp, hd), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, hpb, sp, hd), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, tp, hd), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hpb, tp, hd), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, hd), q.dtype),
         interpret=interpret,

@@ -115,3 +115,32 @@ class TestTorchCheckpointPath:
         d = np.load(out)
         assert d["mel"].shape == (80, 48)
         assert np.isfinite(d["mel"]).all()
+
+
+class TestBatchedGeneration:
+    def test_multi_clip_batch(self, orbax_ckpt, tmp_path):
+        from lm2a_tpu.inference import sample_batch_from_npz
+
+        rng = np.random.default_rng(1)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"clip{i}.npz")
+            save_sample(p, Sample(
+                mel=rng.normal(size=(80, 48)).astype(np.float32),
+                motion=rng.normal(size=(16, 234)).astype(np.float32),
+                lyrics=rng.normal(size=(16, 768)).astype(np.float32),
+            ))
+            paths.append(p)
+        out = sample_batch_from_npz(
+            paths, orbax_ckpt, str(tmp_path / "out"),
+            steps=8, guidance_weight=2.1, batch_size=2,
+        )
+        assert len(out) == 3
+        for p in out:
+            d = np.load(p)
+            assert d["mel"].shape == (80, 48)
+            assert np.isfinite(d["mel"]).all()
+        # different conditions must give different outputs
+        a = np.load(out[0])["mel"]
+        b = np.load(out[1])["mel"]
+        assert not np.allclose(a, b)
