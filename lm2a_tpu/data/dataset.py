@@ -227,15 +227,20 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     lock = threading.Condition()
 
     def producer():
-        for batch in iterator:
-            sem.acquire()
-            staged = put(batch)
+        try:
+            for batch in iterator:
+                sem.acquire()
+                staged = put(batch)
+                with lock:
+                    out.append(staged)
+                    lock.notify()
             with lock:
-                out.append(staged)
+                out.append(done)
                 lock.notify()
-        with lock:
-            out.append(done)
-            lock.notify()
+        except BaseException as e:  # propagate instead of hanging the consumer
+            with lock:
+                out.append(e)
+                lock.notify()
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -246,6 +251,8 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
             item = out.pop(0)
         if item is done:
             return
+        if isinstance(item, BaseException):
+            raise item
         sem.release()
         yield item
 
