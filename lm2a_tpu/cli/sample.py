@@ -23,6 +23,8 @@ def build_parser(p=None):
     p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_png", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="print per-decile coefficient and x/eps statistics")
     p.add_argument("--all", action="store_true",
                    help="batched generation over every npz in --npz_dir")
     p.add_argument("--batch_size", type=int, default=8,
@@ -67,6 +69,7 @@ def main(args=None):
         npz_path, args.ckpt, args.out_dir,
         steps=args.steps, guidance_weight=args.guidance,
         method=args.method, seed=args.seed, save_png=not args.no_png,
+        debug=args.debug,
     )
     print("wrote", out)
 

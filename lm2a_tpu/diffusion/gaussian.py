@@ -129,6 +129,7 @@ def ddpm_sample(
     guidance_weight: float = 1.0,
     x_init: Optional[jnp.ndarray] = None,
     noise_seq: Optional[jnp.ndarray] = None,
+    collect_stats: bool = False,
 ) -> jnp.ndarray:
     """Full reverse DDPM as a single lax.scan over t = T-1 .. 0.
 
@@ -136,6 +137,12 @@ def ddpm_sample(
     overrides the per-step ancestral noise — both for golden tests with
     injected reference noise. Returns the raw (normalized) sample; callers
     de-normalize with the dataset stats.
+
+    ``collect_stats=True`` additionally returns a (T, 8) array of per-step
+    [x min, max, mean, std, eps min, max, mean, std] — the reference's
+    per-decile debug telemetry (``/root/reference/sample.py:176-223``)
+    gathered inside the compiled scan with zero host syncs instead of
+    Python prints every step.
     """
     b = shape[0]
     if x_init is None:
@@ -155,10 +162,18 @@ def ddpm_sample(
         tb = jnp.full((b,), t, dtype=jnp.int32)
         eps = guided_eps(model_fn, x, tb, motion_f, text_f, guidance_weight)
         x = p_sample_step(schedule, x, tb, eps.astype(x.dtype), noise)
-        return (x, k), None
+        stats = None
+        if collect_stats:
+            stats = jnp.stack([
+                jnp.min(x), jnp.max(x), jnp.mean(x), jnp.std(x),
+                jnp.min(eps), jnp.max(eps), jnp.mean(eps), jnp.std(eps),
+            ])
+        return (x, k), stats
 
     xs = ts if noise_seq is None else (ts, noise_seq)
-    (x, _), _ = jax.lax.scan(step, (x_init, key), xs)
+    (x, _), stats = jax.lax.scan(step, (x_init, key), xs)
+    if collect_stats:
+        return x, stats  # (T, 8): per-step [x min/max/mean/std, eps ...]
     return x
 
 

@@ -114,11 +114,18 @@ def generate_mel(
     method: str = "ddpm",
     seed: int = 0,
     batch: int = 1,
+    debug: bool = False,
 ):
     """Run the sampler; returns (mel (B, 80, mel_T) de-normalized, motion_f,
-    text_f). The whole chain is one jitted scan program."""
+    text_f). The whole chain is one jitted scan program.
+
+    ``debug=True`` (DDPM only) collects per-step x/eps statistics inside the
+    scan and prints per-decile rows with the schedule coefficients — the
+    reference's sampling telemetry without a device sync per step.
+    """
     cfg = models.cfg
     steps = steps or models.timesteps
+    debug = debug and method == "ddpm"
 
     motion_rs = match_len(np.asarray(motion, np.float32), mel_t, mode="interp")
     lyrics_rs = match_len(np.asarray(lyrics, np.float32), mel_t, mode="interp")
@@ -127,7 +134,7 @@ def generate_mel(
 
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
-    cache_key = (mel_t, steps, float(guidance_weight), method, batch)
+    cache_key = (mel_t, steps, float(guidance_weight), method, batch, debug)
     run = models._samplers.get(cache_key)
     if run is None:
         schedule = make_schedule(
@@ -139,6 +146,8 @@ def generate_mel(
         )
         sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
         kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
+        if debug:
+            kwargs["collect_stats"] = True
 
         def model_fn_with(params):
             def model_fn(x, t, m, l):
@@ -157,9 +166,34 @@ def generate_mel(
         models._samplers[cache_key] = run
 
     out = run(models.unet_params, jax.random.key(seed), motion_f, text_f)
+    if debug:
+        out, stats = out
+        _print_sampling_telemetry(np.asarray(stats), steps, cfg)
     out = np.asarray(out) * models.dataset_std + models.dataset_mean
     mel = out.transpose(0, 2, 1)  # (B, 80, T) npz layout
     return mel, np.asarray(motion_f), np.asarray(text_f), motion_rs, lyrics_rs
+
+
+def _print_sampling_telemetry(stats: np.ndarray, steps: int, cfg) -> None:
+    """Per-decile coefficient + tensor-stat rows (reference sample.py debug)."""
+    betas = np.linspace(cfg.diffusion.beta_start, cfg.diffusion.beta_end, steps)
+    alphas = 1.0 - betas
+    abars = np.cumprod(alphas)
+    interval = max(1, steps // 10)
+    for i in range(0, steps, interval):
+        t = steps - 1 - i
+        c1 = 1.0 / np.sqrt(alphas[t])
+        c2 = betas[t] / np.sqrt(1.0 - abars[t])
+        print(
+            f"[coeff] t={t:4d} beta={betas[t]:.6e} alpha={alphas[t]:.6e} "
+            f"alpha_bar={abars[t]:.6e} coef1={c1:.6e} coef2={c2:.6e}"
+        )
+        xm, xM, xu, xs, em, eM, eu, es = stats[i]
+        print(
+            f"[sampling] step t={t:4d}  x min={xm:.6f} max={xM:.6f} "
+            f"mean={xu:.6f} std={xs:.6f} | eps min={em:.6f} max={eM:.6f} "
+            f"mean={eu:.6f} std={es:.6f}"
+        )
 
 
 def generate_mel_batch(
@@ -282,6 +316,7 @@ def sample_from_npz(
     cfg: Optional[LM2AConfig] = None,
     save_png: bool = True,
     models: Optional[LoadedModels] = None,
+    debug: bool = False,
 ) -> str:
     """End-to-end: npz conds + checkpoint -> ``<base>_gen.npz`` (+PNGs)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -294,6 +329,7 @@ def sample_from_npz(
     gen, motion_f, text_f, motion_rs, lyrics_rs = generate_mel(
         models, s.motion, s.lyrics, mel_t,
         steps=steps, guidance_weight=guidance_weight, method=method, seed=seed,
+        debug=debug,
     )
     gen_mel = gen[0]  # (80, T)
     if not np.isfinite(gen_mel).all():

@@ -198,3 +198,19 @@ class TestLoss:
                        dataset_mean=10.0, dataset_std=2.0)
         # x0 normalized to 0 -> x_t is pure scaled noise, magnitude < ~5
         assert float(jnp.max(jnp.abs(seen["x"]))) < 6.0
+
+
+class TestTelemetry:
+    def test_collect_stats_shape_and_consistency(self):
+        s = make_schedule(DiffusionConfig(timesteps=6))
+        shape = (1, 8, 4)
+        out, stats = ddpm_sample(
+            linear_model, s, jax.random.key(0), shape, collect_stats=True
+        )
+        assert out.shape == shape
+        assert stats.shape == (6, 8)
+        # final step's x stats describe the returned sample
+        np.testing.assert_allclose(float(stats[-1, 2]), float(np.mean(out)),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(stats[-1, 0]), float(np.min(out)),
+                                   rtol=1e-4, atol=1e-5)
