@@ -60,6 +60,9 @@ class ModelConfig:
     # Route attention cores through the Pallas flash kernel (VMEM-resident
     # scores); numerically equivalent to the XLA path within fp tolerance.
     fused_attention: bool = False
+    # Rematerialize residual blocks in the backward pass (activation-memory
+    # vs FLOPs trade; use for larger batches or longer sequences).
+    remat: bool = False
 
 
 @dataclass(frozen=True)

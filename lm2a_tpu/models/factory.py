@@ -29,6 +29,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             dropout=cfg.dropout,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
+            remat=cfg.remat,
         )
     if cfg.arch == "v1":
         return UNet1D(

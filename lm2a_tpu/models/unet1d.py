@@ -99,7 +99,7 @@ class ResBlockUltimate(nn.Module):
     fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, t_emb, motion_f=None, text_f=None, *, deterministic=True):
+    def __call__(self, x, t_emb, motion_f=None, text_f=None, deterministic=True):
         in_ch = x.shape[-1]
         h = _group_norm(in_ch, self.dtype, "gn1")(x)
         h = nn.silu(h)
@@ -143,6 +143,9 @@ class UNet1DUltimate(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # rematerialize residual blocks in the backward pass (trade FLOPs for
+    # activation memory; enables larger batches/sequences)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -160,8 +163,13 @@ class UNet1DUltimate(nn.Module):
         h = nn.Conv(self.base_dim, (1,), dtype=self.dtype, name="in_proj")(x)
         dims = [self.base_dim * m for m in self.dim_mults]
 
+        block_cls = ResBlockUltimate
+        if self.remat:
+            # arg index 5 == `deterministic` (self=0), a static Python bool
+            block_cls = nn.remat(ResBlockUltimate, static_argnums=(5,))
+
         def block(out_ch, use_attn, name):
-            return ResBlockUltimate(
+            return block_cls(
                 out_channels=out_ch,
                 cond_dim=self.cond_dim,
                 use_attn=use_attn,
@@ -178,7 +186,7 @@ class UNet1DUltimate(nn.Module):
             for b in range(self.num_res_blocks):
                 use_attn = b == self.num_res_blocks - 1
                 h = block(dim, use_attn, f"down_{i}_block_{b}")(
-                    h, t_emb, motion_f, text_f, deterministic=deterministic
+                    h, t_emb, motion_f, text_f, deterministic
                 )
             skips.append(h)
             h = nn.Conv(
@@ -189,7 +197,7 @@ class UNet1DUltimate(nn.Module):
         # Mid: every block attends.
         for b in range(self.mid_blocks):
             h = block(dims[-1], True, f"mid_block_{b}")(
-                h, t_emb, motion_f, text_f, deterministic=deterministic
+                h, t_emb, motion_f, text_f, deterministic
             )
 
         # Up path: attention on the first (post-concat) block of each stage.
@@ -201,7 +209,7 @@ class UNet1DUltimate(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             for b in range(self.num_res_blocks):
                 h = block(dim, b == 0, f"up_{i}_block_{b}")(
-                    h, t_emb, motion_f, text_f, deterministic=deterministic
+                    h, t_emb, motion_f, text_f, deterministic
                 )
 
         h = _group_norm(h.shape[-1], self.dtype, "out_gn")(h)

@@ -215,3 +215,39 @@ class TestTorchParity:
         ours = np.asarray(fm.apply(params, jnp.asarray(x)))
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestRemat:
+    def test_remat_outputs_and_grads_match(self):
+        import jax
+
+        cfg = ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                          time_emb_dim=16, num_res_blocks=1, mid_blocks=1,
+                          attn_heads=2)
+        cfg_r = ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                            time_emb_dim=16, num_res_blocks=1, mid_blocks=1,
+                            attn_heads=2, remat=True)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 32, 80)).astype(np.float32))
+        t = jnp.array([1, 2])
+        motion = jnp.asarray(rng.normal(size=(2, 32, 8)).astype(np.float32))
+        text = jnp.asarray(rng.normal(size=(2, 32, 8)).astype(np.float32))
+
+        m = build_denoiser(cfg)
+        mr = build_denoiser(cfg_r)
+        params = m.init(jax.random.key(0), x, t, motion, text)
+        a = np.asarray(m.apply(params, x, t, motion, text))
+        b = np.asarray(mr.apply(params, x, t, motion, text))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+        def loss(fn, p):
+            return jnp.sum(fn.apply(p, x, t, motion, text) ** 2)
+
+        ga = jax.grad(lambda p: loss(m, p))(params)
+        gb = jax.grad(lambda p: loss(mr, p))(params)
+        jax.tree.map(
+            lambda u, v: np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), rtol=1e-4, atol=1e-5
+            ),
+            ga, gb,
+        )
