@@ -1,0 +1,63 @@
+"""Sequence-parallel sampling: shard the mel time axis over the model axis.
+
+The reference has no long-context machinery (sequence length is structurally
+516; SURVEY.md §5.7), so this is an extension, not a parity item: the models
+are written channels-last over a single time axis, which makes sequence
+sharding an ANNOTATION rather than a rewrite. Activations are constrained to
+``P(None, 'model', None)`` — GSPMD then inserts the halo exchanges for the
+k=3/k=4 convolutions and the K/V all-gathers for cross-attention over ICI
+automatically (the scaling-book recipe: pick a mesh, annotate, let XLA
+insert collectives).
+
+Use when clips outgrow one chip's HBM (e.g. full-song generation at minutes
+of mel frames) or to cut per-chip latency at batch 1.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lm2a_tpu.core.mesh import MODEL_AXIS
+from lm2a_tpu.diffusion.gaussian import ddim_sample, ddpm_sample
+from lm2a_tpu.diffusion.schedule import Schedule
+
+
+def make_sequence_sharded_sampler(
+    apply_fn,
+    schedule: Schedule,
+    mesh,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    **kwargs,
+):
+    """Bind ``apply_fn`` into a jitted sampler whose (B, T, C) activations
+    are sharded along T over the mesh's model axis."""
+    seq_sharding = NamedSharding(mesh, P(None, MODEL_AXIS, None))
+    sample_impl = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, seq_sharding)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sampler(params, key, shape, motion_f=None, text_f=None):
+        if motion_f is not None:
+            motion_f = constrain(motion_f)
+        if text_f is not None:
+            text_f = constrain(text_f)
+
+        def model_fn(x, t, m, l):
+            return apply_fn(params, constrain(x), t, m, l)
+
+        return sample_impl(
+            model_fn, schedule, key, shape, motion_f, text_f,
+            guidance_weight=guidance_weight, **kwargs,
+        )
+
+    def run(params, key, shape, motion_f=None, text_f=None):
+        with mesh:
+            return sampler(params, key, shape, motion_f, text_f)
+
+    return run
