@@ -120,6 +120,25 @@ def main():
             log(f"extra: sample+vocode wall-clock per 6s clip: {best + vt:.3f}s")
         except Exception as e:
             log(f"extra: vocode bench failed: {e}")
+        try:
+            from lm2a_tpu.core.config import MelConfig
+            from lm2a_tpu.ops.mel import mel_spectrogram
+
+            mc = MelConfig()
+            nb = 16
+            wavs = jax.random.uniform(jax.random.key(13), (nb, 6 * 22050),
+                                      jnp.float32, -0.5, 0.5)
+            mel_fn = jax.jit(lambda w: mel_spectrogram(w, mc))
+            m = mel_fn(wavs)
+            m.block_until_ready()
+            t0 = time.perf_counter()
+            m = mel_fn(wavs)
+            m.block_until_ready()
+            mt = time.perf_counter() - t0
+            log(f"extra: mel extraction {nb}x6s clips: {mt * 1e3:.1f} ms "
+                f"({nb * 6 / mt:.0f}x realtime)")
+        except Exception as e:
+            log(f"extra: mel bench failed: {e}")
 
     print(json.dumps({
         "metric": "mel_frames_per_sec_ddpm_cfg_1000step",

@@ -7,6 +7,7 @@ from lm2a_tpu.ops.mel import (
     stft_magnitude,
 )
 from lm2a_tpu.ops.moments import RunningMoments
+from lm2a_tpu.ops.pallas_attention import attention_core, attention_core_reference
 from lm2a_tpu.ops.motion import (
     acceleration,
     gaussian_kernel,
@@ -24,6 +25,8 @@ __all__ = [
     "slaney_mel_filterbank",
     "stft_magnitude",
     "RunningMoments",
+    "attention_core",
+    "attention_core_reference",
     "acceleration",
     "gaussian_kernel",
     "gaussian_smooth",
