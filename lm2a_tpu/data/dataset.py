@@ -28,7 +28,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from lm2a_tpu.data.schema import load_sample, normalize_mel_layout
-from lm2a_tpu.ops.resample import linear_resample, match_len
+from lm2a_tpu.ops.resample import match_len
 
 _EXCLUDE = {"motion_stats.npz"}
 

@@ -15,8 +15,6 @@ mel (80, 516), motion (180, 234), lyrics (180, 768)
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 REQUIRED_KEYS = ("mel", "motion", "lyrics")

@@ -6,8 +6,6 @@ Centralizes what the reference duplicates as literals in
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from lm2a_tpu.core.config import ModelConfig
 from lm2a_tpu.core.precision import dtype_from_str
 from lm2a_tpu.models.embedding import CondProjection

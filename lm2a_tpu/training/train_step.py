@@ -15,7 +15,7 @@ One optimization step == the hot loop of ``/root/reference/train.py:135-218``
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax
