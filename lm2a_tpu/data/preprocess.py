@@ -22,6 +22,7 @@ TPU-first rewrites of the reference's hot loops:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Tuple
@@ -87,10 +88,18 @@ def extract_motion_track(
     return np.stack(frames, axis=0)
 
 
+@functools.lru_cache(maxsize=4)
+def _mel_fn(mel_cfg: MelConfig):
+    return jax.jit(lambda w: mel_spectrogram(w, mel_cfg))
+
+
 def _batched_mel(segments: np.ndarray, mel_cfg: MelConfig) -> np.ndarray:
-    """(N, L) waveform segments -> (N, mel_T, 80) on device, one jit call."""
-    fn = jax.jit(lambda w: mel_spectrogram(w, mel_cfg), static_argnums=())
-    return np.asarray(fn(segments))
+    """(N, L) waveform segments -> (N, mel_T, 80) on device, one jit call.
+
+    The jitted fn is cached per MelConfig (configs are frozen/hashable), so
+    the whole dataset build compiles the mel op once per distinct geometry.
+    """
+    return np.asarray(_mel_fn(mel_cfg)(segments))
 
 
 def _load_json(path: str) -> Optional[dict]:
