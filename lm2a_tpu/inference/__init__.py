@@ -1,3 +1,4 @@
+from lm2a_tpu.inference.longform import crossfade_stitch, generate_long, window_conditions
 from lm2a_tpu.inference.sample import (
     FALLBACK_MEL_MEAN,
     FALLBACK_MEL_STD,
@@ -10,6 +11,9 @@ from lm2a_tpu.inference.sample import (
 )
 
 __all__ = [
+    "crossfade_stitch",
+    "generate_long",
+    "window_conditions",
     "FALLBACK_MEL_MEAN",
     "FALLBACK_MEL_STD",
     "LoadedModels",
