@@ -95,6 +95,9 @@ class TrainConfig:
     lr_decay_factors: Tuple[float, ...] = ()
     # bf16 activations on TPU replace the reference's fp16 AMP+GradScaler
     compute_dtype: str = "bfloat16"
+    # optimizer steps fused into one dispatch via lax.scan (1 = classic loop);
+    # amortizes host/dispatch latency, at the cost of coarser logging
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,7 @@ from lm2a_tpu.training.checkpoint import (
 from lm2a_tpu.training.train_step import (
     init_train_state,
     make_eval_step,
+    make_multistep_train_step,
     make_train_step,
 )
 from lm2a_tpu.utils.logging import TrainLogger
@@ -111,6 +112,12 @@ def train(
         denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
     )
+    multistep = None
+    if tc.steps_per_call > 1:
+        multistep = make_multistep_train_step(
+            denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
+            dataset_mean=dataset_mean, dataset_std=dataset_std,
+        )
     eval_step = make_eval_step(
         denoiser, cond_proj, schedule, cfg, mesh=mesh,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
@@ -137,7 +144,35 @@ def train(
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
-        for batch in device_prefetch(it, mesh=mesh):
+        k_fuse = max(1, tc.steps_per_call) if multistep is not None else 1
+        pending_batches = []
+        batch_stream = device_prefetch(it, mesh=mesh) if k_fuse == 1 else iter(it)
+        for batch in batch_stream:
+            if k_fuse > 1:
+                pending_batches.append(batch)
+                if len(pending_batches) < k_fuse:
+                    continue
+                stacked = {
+                    key: np.stack([b[key] for b in pending_batches])
+                    for key in ("mel", "motion", "lyrics")
+                }
+                offsets = np.arange(step, step + k_fuse, dtype=np.int32)
+                pending_batches = []
+                state, losses = multistep(state, stacked, root_key, offsets)
+                pending_loss = losses[-1]
+                if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
+                    last_loss = float(jax.device_get(losses[-1]))
+                    logger.log_step(epoch, step + k_fuse - 1, last_loss,
+                                    float(lr_fn(np.int32(step))))
+                step += k_fuse
+                timer.tick()
+                if tc.save_interval and step % tc.save_interval < k_fuse and step >= tc.save_interval:
+                    ckpt(epoch)
+                if max_steps is not None and step >= max_steps:
+                    stop = True
+                    break
+                continue
+
             if profile_dir is not None and step == profile_steps[0]:
                 jax.profiler.start_trace(profile_dir)
             step_key = jax.random.fold_in(root_key, step)
@@ -160,6 +195,17 @@ def train(
             if max_steps is not None and step >= max_steps:
                 stop = True
                 break
+
+        # fused mode: flush the tail batches (< k_fuse) as single steps
+        if not stop and pending_batches:
+            for batch in pending_batches:
+                step_key = jax.random.fold_in(root_key, step)
+                state, pending_loss = train_step(state, batch, step_key)
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    stop = True
+                    break
+            pending_batches = []
 
         val_loss = None
         if val_ds is not None and not stop:

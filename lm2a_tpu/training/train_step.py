@@ -175,6 +175,68 @@ def make_train_step(
     )
 
 
+def make_multistep_train_step(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+):
+    """K optimizer steps per dispatch: lax.scan over stacked batches.
+
+    ``multistep(state, batches, base_key, offsets) -> (state, losses)`` where
+    ``batches`` holds (K, B, T, .) arrays and ``offsets`` is the (K,) int32
+    global-step vector used to fold per-step keys. Each scanned step is
+    IDENTICAL math to make_train_step's, so K dispatches collapse into one —
+    this amortizes host/dispatch latency (hundreds of ms per call through a
+    remote-attached device; still worthwhile on local hardware to keep the
+    device queue full).
+    """
+    ema_decay = cfg.train.ema_decay
+
+    def one_step(state, batch, key):
+        loss_fn = partial(
+            _loss,
+            denoiser=denoiser, cond_proj=cond_proj, schedule=schedule,
+            batch=batch, key=key, cond_drop_prob=cfg.train.cond_drop_prob,
+            dataset_mean=dataset_mean, dataset_std=dataset_std, train=True,
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params,
+        )
+        return TrainState(step=state.step + 1, params=params,
+                          ema_params=ema_params, opt_state=opt_state), loss
+
+    def multi_fn(state, batches, base_key, offsets):
+        def body(st, inp):
+            batch, off = inp
+            return one_step(st, batch, jax.random.fold_in(base_key, off))
+
+        return jax.lax.scan(body, state, (batches, offsets))
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lm2a_tpu.core.mesh import DATA_AXIS
+
+    rep = replicated(mesh)
+    ksh = NamedSharding(mesh, P(None, DATA_AXIS))  # (K, B, ...) -> B sharded
+    return jax.jit(
+        multi_fn,
+        in_shardings=(rep, ksh, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
 def make_eval_step(
     denoiser,
     cond_proj,

@@ -145,3 +145,69 @@ class TestCheckpoint:
         a, la = step2(jax.tree.map(jnp.copy, st), make_batch(seed=9), jax.random.key(9))
         b, lb = step2(jax.tree.map(jnp.copy, restored), make_batch(seed=9), jax.random.key(9))
         assert float(la) == pytest.approx(float(lb), rel=1e-6)
+
+
+class TestMultistep:
+    def test_fused_steps_match_sequential(self, setup):
+        """K scanned steps == K sequential single steps, bitwise same RNG."""
+        from lm2a_tpu.training.train_step import make_multistep_train_step
+
+        denoiser, cond_proj, schedule, state, tx = setup
+        single = make_train_step(denoiser, cond_proj, schedule, CFG, tx)
+        multi = make_multistep_train_step(denoiser, cond_proj, schedule, CFG, tx)
+
+        root = jax.random.key(42)
+        batches = [make_batch(seed=i) for i in range(3)]
+
+        st_a = jax.tree.map(jnp.copy, state)
+        losses_a = []
+        for i, b in enumerate(batches):
+            st_a, loss = single(st_a, b, jax.random.fold_in(root, i))
+            losses_a.append(float(loss))
+
+        stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        offsets = jnp.arange(3, dtype=jnp.int32)
+        st_b, losses_b = multi(
+            jax.tree.map(jnp.copy, state), stacked, root, offsets
+        )
+        np.testing.assert_allclose(losses_a, np.asarray(losses_b), rtol=1e-5)
+        # scanned vs sequential compilations reassociate fp ops slightly
+        np.testing.assert_allclose(
+            np.asarray(st_a.params["unet"]["in_proj"]["kernel"]),
+            np.asarray(st_b.params["unet"]["in_proj"]["kernel"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        assert int(st_b.step) == 3
+
+    def test_loop_with_steps_per_call(self, tmp_path):
+        """Training loop with fused dispatch incl. a tail flush."""
+        from lm2a_tpu.core.config import (
+            DataConfig, DiffusionConfig, LM2AConfig, ModelConfig, TrainConfig,
+        )
+        from lm2a_tpu.data import Sample, save_sample
+        from lm2a_tpu.training import train
+        from lm2a_tpu.core.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        d = tmp_path / "train"
+        d.mkdir()
+        for i in range(5):  # 5 batches of 1 -> 2 fused calls + 1 tail
+            save_sample(str(d / f"sample_{i:08d}.npz"), Sample(
+                mel=rng.normal(size=(80, 24)).astype(np.float32),
+                motion=rng.normal(size=(8, 10)).astype(np.float32),
+                lyrics=rng.normal(size=(8, 20)).astype(np.float32),
+            ))
+        cfg = LM2AConfig(
+            model=ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                              time_emb_dim=16, num_res_blocks=1, mid_blocks=1,
+                              attn_heads=2, motion_dim=10, text_dim=20),
+            diffusion=DiffusionConfig(timesteps=10),
+            train=TrainConfig(batch_size=1, epochs=1, lr=1e-3, log_interval=2,
+                              save_interval=0, seed=0, steps_per_call=2),
+            data=DataConfig(),
+        )
+        mesh = make_mesh(devices=make_mesh().devices.ravel()[:1])
+        res = train(cfg, str(d), str(tmp_path / "run"), mesh=mesh,
+                    use_tensorboard=False)
+        assert res.final_step == 5
+        assert np.isfinite(res.final_loss)
