@@ -47,21 +47,26 @@ class MultiheadAttention(nn.Module):
         k = nn.Dense(e, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(e, dtype=self.dtype, name="v_proj")(value)
 
-        def split(x):  # (B, T, E) -> (B, h, T, hd)
-            return x.reshape(x.shape[:-1] + (h, hd)).transpose(0, 2, 1, 3)
-
-        q, k, v = split(q), split(k), split(v)
+        # head split by reshape only — contraction einsums carry the head
+        # axis in place, avoiding (0,2,1,3) transposes that show up as
+        # relayout copies in device traces (~72 per forward at 9 attn sites)
+        q = q.reshape(q.shape[:-1] + (h, hd))  # (B, T, h, hd)
+        k = k.reshape(k.shape[:-1] + (h, hd))
+        v = v.reshape(v.shape[:-1] + (h, hd))
         if self.fused:
             from lm2a_tpu.ops.pallas_attention import attention_core
 
-            out = attention_core(q, k, v)
+            out = attention_core(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3)
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
                 jnp.asarray(hd, dtype=q.dtype)
             )
             probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], -1, e)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(out.shape[0], -1, e)
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
 
 
