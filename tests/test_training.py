@@ -211,3 +211,28 @@ class TestMultistep:
                     use_tensorboard=False)
         assert res.final_step == 5
         assert np.isfinite(res.final_loss)
+
+
+class TestFusedAttentionTraining:
+    def test_train_step_with_pallas_attention(self):
+        """Gradients flow through the Pallas kernel's custom VJP in a full
+        train step (interpret mode on CPU)."""
+        cfg = LM2AConfig(
+            model=ModelConfig(
+                base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+                num_res_blocks=1, mid_blocks=1, attn_heads=2,
+                motion_dim=12, text_dim=24, fused_attention=True,
+            ),
+            diffusion=DiffusionConfig(timesteps=10),
+            train=TrainConfig(batch_size=4, lr=1e-3),
+        )
+        denoiser = build_denoiser(cfg.model)
+        cond_proj = build_cond_projection(cfg.model)
+        schedule = make_schedule(cfg.diffusion)
+        state, tx = init_train_state(denoiser, cond_proj, cfg, jax.random.key(0),
+                                     seq_len=T_MEL)
+        step = make_train_step(denoiser, cond_proj, schedule, cfg, tx)
+        st, loss = step(state, make_batch(b=4), jax.random.key(1))
+        assert np.isfinite(float(loss))
+        st, loss2 = step(st, make_batch(b=4, seed=1), jax.random.key(2))
+        assert np.isfinite(float(loss2))
