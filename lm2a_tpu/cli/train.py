@@ -50,6 +50,8 @@ def build_parser(p=None):
                         "(bf16 is the TPU mixed-precision default)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="fuse K optimizer steps into one dispatch (lax.scan)")
+    p.add_argument("--keep_checkpoints", type=int, default=0,
+                   help="prune to newest N checkpoints (0 = keep all)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--no_tensorboard", action="store_true")
     return p
@@ -95,6 +97,7 @@ def config_from_args(args):
             lr_decay_factors=decay_factors,
             compute_dtype=args.compute_dtype,
             steps_per_call=args.steps_per_call,
+            keep_checkpoints=args.keep_checkpoints,
         ),
     )
 

@@ -98,6 +98,8 @@ class TrainConfig:
     # optimizer steps fused into one dispatch via lax.scan (1 = classic loop);
     # amortizes host/dispatch latency, at the cost of coarser logging
     steps_per_call: int = 1
+    # prune to the newest N checkpoints (0 = keep all, reference behavior)
+    keep_checkpoints: int = 0
 
 
 @dataclass(frozen=True)

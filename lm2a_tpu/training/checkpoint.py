@@ -39,7 +39,10 @@ def save_checkpoint(
     dataset_mean: float = 0.0,
     dataset_std: float = 1.0,
     extra: Optional[dict] = None,
+    keep_last: int = 0,
 ) -> str:
+    """Save; with ``keep_last > 0`` prune all but the newest N checkpoints
+    (0 keeps everything — the reference's accumulate-forever behavior)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     step = int(jax.device_get(state.step))
     path = checkpoint_path(ckpt_dir, step)
@@ -56,6 +59,17 @@ def save_checkpoint(
         meta.update(extra)
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f, indent=2)
+
+    if keep_last and keep_last > 0:
+        import shutil
+
+        for old_step in list_checkpoints(ckpt_dir)[:-keep_last]:
+            old = checkpoint_path(ckpt_dir, old_step)
+            shutil.rmtree(old, ignore_errors=True)
+            try:
+                os.remove(old + ".meta.json")
+            except OSError:
+                pass
     return path
 
 

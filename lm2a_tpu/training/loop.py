@@ -137,6 +137,7 @@ def train(
         path = save_checkpoint(
             save_dir, state, cfg, epoch=epoch,
             dataset_mean=dataset_mean, dataset_std=dataset_std,
+            keep_last=tc.keep_checkpoints,
         )
         print("saved checkpoint:", path)
 

@@ -236,3 +236,21 @@ class TestFusedAttentionTraining:
         assert np.isfinite(float(loss))
         st, loss2 = step(st, make_batch(b=4, seed=1), jax.random.key(2))
         assert np.isfinite(float(loss2))
+
+
+class TestCheckpointRetention:
+    def test_keep_last_prunes_old(self, setup, tmp_path):
+        denoiser, cond_proj, schedule, state, tx = setup
+        from lm2a_tpu.training import list_checkpoints
+
+        step = make_train_step(denoiser, cond_proj, schedule, CFG, tx)
+        ckpt_dir = str(tmp_path / "ck")
+        st = jax.tree.map(jnp.copy, state)
+        for i in range(4):
+            st, _ = step(st, make_batch(seed=i), jax.random.key(i))
+            save_checkpoint(ckpt_dir, st, CFG, keep_last=2)
+        assert list_checkpoints(ckpt_dir) == [3, 4]
+        import os
+        names = os.listdir(ckpt_dir)
+        assert "ckpt_step_1.meta.json" not in names
+        assert "ckpt_step_4.meta.json" in names
