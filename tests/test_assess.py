@@ -1,0 +1,82 @@
+"""Mel-domain assessment (val.py workflow) tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lm2a_tpu.core.config import (
+    DiffusionConfig,
+    LM2AConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from lm2a_tpu.data import Sample, save_sample
+from lm2a_tpu.eval import assess_batch, assess_single_sample
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.training import init_train_state, save_checkpoint
+
+CFG = LM2AConfig(
+    model=ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+                      num_res_blocks=1, mid_blocks=1, attn_heads=2,
+                      motion_dim=234, text_dim=768),
+    diffusion=DiffusionConfig(timesteps=6),
+    train=TrainConfig(batch_size=2),
+)
+
+
+@pytest.fixture
+def env(tmp_path):
+    rng = np.random.default_rng(0)
+    npz_dir = tmp_path / "test_split"
+    npz_dir.mkdir()
+    for i in range(4):
+        save_sample(str(npz_dir / f"sample_{i:08d}.npz"), Sample(
+            mel=rng.normal(size=(80, 32)).astype(np.float32),
+            motion=rng.normal(size=(12, 234)).astype(np.float32),
+            lyrics=rng.normal(size=(12, 768)).astype(np.float32),
+        ))
+    denoiser = build_denoiser(CFG.model)
+    cond_proj = build_cond_projection(CFG.model)
+    state, _ = init_train_state(denoiser, cond_proj, CFG, jax.random.key(0), seq_len=32)
+    ckpt_dir = str(tmp_path / "ck")
+    save_checkpoint(ckpt_dir, state, CFG, dataset_mean=-4.6, dataset_std=1.86)
+    return str(npz_dir), os.path.join(ckpt_dir, "ckpt_step_0")
+
+
+def test_assess_single(env, tmp_path):
+    npz_dir, ckpt = env
+    out_dir = str(tmp_path / "out")
+    metrics, temp_dir = assess_single_sample(
+        os.path.join(npz_dir, "sample_00000000.npz"), ckpt, out_dir,
+        steps=6, guidance=1.5, save_png=False,
+    )
+    assert set(metrics) == {"mse", "ssim", "avg_cos_sim", "mean_error",
+                            "std_error", "snr"}
+    assert os.path.exists(os.path.join(out_dir, "sample_00000000_metrics.txt"))
+    assert os.path.exists(os.path.join(out_dir, "sample_00000000_gen_mel.npz"))
+    assert os.path.isdir(temp_dir)  # deferred cleanup (batch deletes it)
+
+
+def test_assess_batch_protocol(env, tmp_path):
+    npz_dir, ckpt = env
+    out_dir = str(tmp_path / "out")
+    avg = assess_batch(
+        npz_dir, ckpt, out_dir,
+        max_samples=2, random_sample=True, random_seed=100,
+        steps=6, guidance=1.5, save_png=False,
+    )
+    assert np.isfinite(list(avg.values())).all()
+    txt = open(os.path.join(out_dir, "average_metrics.txt")).read()
+    assert "samples: 2" in txt and "seed: 100" in txt
+    # deferred temp dirs cleaned up at the end
+    leftovers = [d for d in os.listdir(out_dir) if d.startswith("temp_")]
+    assert leftovers == []
+    # reproducible subset selection with the same seed
+    avg2 = assess_batch(
+        npz_dir, ckpt, str(tmp_path / "out2"),
+        max_samples=2, random_sample=True, random_seed=100,
+        steps=6, guidance=1.5, save_png=False,
+    )
+    assert avg == avg2
