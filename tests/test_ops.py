@@ -194,3 +194,34 @@ class TestMoments:
         rm = RunningMoments()
         rm.update(np.ones((1, 3)))
         np.testing.assert_array_equal(rm.std(), np.ones(3))
+
+
+class TestMelWindowPadding:
+    def test_short_window_matches_torch(self):
+        """win_size < n_fft exercises the centered window zero-pad path."""
+        torch = pytest.importorskip("torch")
+        cfg = MelConfig(n_fft=1024, win_size=512, hop_size=256)
+        rng = np.random.default_rng(7)
+        wav = rng.uniform(-1, 1, size=22050).astype(np.float32)
+        mag = np.asarray(stft_magnitude(wav, cfg))
+
+        pad = (cfg.n_fft - cfg.hop_size) // 2
+        wt = torch.nn.functional.pad(
+            torch.from_numpy(wav)[None], (pad, pad), mode="reflect"
+        ).squeeze(0)
+        spec = torch.stft(
+            wt, cfg.n_fft, hop_length=cfg.hop_size, win_length=cfg.win_size,
+            window=torch.hann_window(cfg.win_size), center=False,
+            normalized=False, onesided=True, return_complex=True,
+        )
+        ref = torch.sqrt(spec.real**2 + spec.imag**2 + 1e-9).numpy().T
+        assert mag.shape == ref.shape
+        np.testing.assert_allclose(mag, ref, rtol=1e-4, atol=1e-4)
+
+    def test_alternate_geometry(self):
+        """24 kHz / 100-band BigVGAN-v2-style convention also works."""
+        cfg = MelConfig(n_fft=1024, num_mels=100, sample_rate=24000,
+                        hop_size=256, win_size=1024)
+        wav = np.zeros(24000, dtype=np.float32)
+        mel = np.asarray(mel_spectrogram(wav, cfg))
+        assert mel.shape[1] == 100
