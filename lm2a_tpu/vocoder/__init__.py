@@ -1,7 +1,10 @@
 from lm2a_tpu.vocoder.bigvgan import (
     BIGVGAN_22KHZ_80BAND,
     BIGVGAN_BASE_22KHZ_80BAND,
+    BIGVGAN_V2_24KHZ_100BAND,
+    BIGVGAN_V2_44KHZ_128BAND,
     AMPBlock1,
+    AMPBlock2,
     BigVGANGenerator,
     SnakeAlias,
     VocoderConfig,
@@ -17,7 +20,10 @@ from lm2a_tpu.vocoder.vocode import Vocoder, batch_npz_to_wav, npz_to_wav
 __all__ = [
     "BIGVGAN_22KHZ_80BAND",
     "BIGVGAN_BASE_22KHZ_80BAND",
+    "BIGVGAN_V2_24KHZ_100BAND",
+    "BIGVGAN_V2_44KHZ_128BAND",
     "AMPBlock1",
+    "AMPBlock2",
     "BigVGANGenerator",
     "SnakeAlias",
     "VocoderConfig",

@@ -45,6 +45,7 @@ class VocoderConfig:
     resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
         (1, 3, 5), (1, 3, 5), (1, 3, 5),
     )
+    resblock_type: str = "1"  # '1' = AMPBlock1 (two convs/dilation), '2' = one
     activation: str = "snakebeta"  # 'snake' | 'snakebeta'
     snake_logscale: bool = True
     sample_rate: int = 22050
@@ -64,6 +65,18 @@ BIGVGAN_BASE_22KHZ_80BAND = VocoderConfig(
     upsample_rates=(8, 8, 2, 2),
     upsample_kernel_sizes=(16, 16, 4, 4),
     upsample_initial_channel=512,
+)
+# nvidia/bigvgan_v2_24khz_100band_256x
+BIGVGAN_V2_24KHZ_100BAND = VocoderConfig(
+    num_mels=100,
+    sample_rate=24000,
+)
+# nvidia/bigvgan_v2_44khz_128band_512x
+BIGVGAN_V2_44KHZ_128BAND = VocoderConfig(
+    num_mels=128,
+    sample_rate=44100,
+    upsample_rates=(8, 4, 2, 2, 2, 2),
+    upsample_kernel_sizes=(16, 8, 4, 4, 4, 4),
 )
 
 
@@ -127,6 +140,28 @@ class AMPBlock1(nn.Module):
         return x
 
 
+class AMPBlock2(nn.Module):
+    """Lighter residual block (BigVGAN resblock '2'): one conv per dilation."""
+
+    channels: int
+    kernel: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+    beta: bool = True
+    logscale: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            xt = SnakeAlias(
+                self.channels, beta=self.beta, logscale=self.logscale,
+                dtype=self.dtype, name=f"act_{i}",
+            )(x)
+            xt = _conv(self.channels, self.kernel, d, f"conv_{i}", self.dtype)(xt)
+            x = x + xt
+        return x
+
+
 class BigVGANGenerator(nn.Module):
     """(B, T, num_mels) log-mel -> (B, hop*T) waveform in [-1, 1]."""
 
@@ -153,11 +188,12 @@ class BigVGANGenerator(nn.Module):
                 ch, (k,), strides=(r,), padding=[(p, p)],
                 dtype=self.dtype, name=f"up_{i}",
             )(x)
+            block_cls = AMPBlock1 if c.resblock_type == "1" else AMPBlock2
             acc = None
             for j, (rk, dil) in enumerate(
                 zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes)
             ):
-                y = AMPBlock1(
+                y = block_cls(
                     ch, rk, tuple(dil), beta=beta, logscale=c.snake_logscale,
                     dtype=self.dtype, name=f"resblock_{i}_{j}",
                 )(x)

@@ -70,10 +70,14 @@ def convert_bigvgan(sd: Dict[str, np.ndarray], cfg: VocoderConfig) -> Dict:
             rb = f"resblocks.{i * nk + j}"
             blk: Dict = {}
             for m in range(len(cfg.resblock_dilation_sizes[j])):
-                blk[f"conv1_{m}"] = _conv(sd, f"{rb}.convs1.{m}")
-                blk[f"conv2_{m}"] = _conv(sd, f"{rb}.convs2.{m}")
-                blk[f"act1_{m}"] = _snake(sd, f"{rb}.activations.{2 * m}.act", beta)
-                blk[f"act2_{m}"] = _snake(sd, f"{rb}.activations.{2 * m + 1}.act", beta)
+                if cfg.resblock_type == "1":
+                    blk[f"conv1_{m}"] = _conv(sd, f"{rb}.convs1.{m}")
+                    blk[f"conv2_{m}"] = _conv(sd, f"{rb}.convs2.{m}")
+                    blk[f"act1_{m}"] = _snake(sd, f"{rb}.activations.{2 * m}.act", beta)
+                    blk[f"act2_{m}"] = _snake(sd, f"{rb}.activations.{2 * m + 1}.act", beta)
+                else:  # resblock '2': convs named 'convs', one activation each
+                    blk[f"conv_{m}"] = _conv(sd, f"{rb}.convs.{m}")
+                    blk[f"act_{m}"] = _snake(sd, f"{rb}.activations.{m}.act", beta)
             p[f"resblock_{i}_{j}"] = blk
     return {"params": p}
 

@@ -147,3 +147,28 @@ class TestConvert:
         w = _fold_weight_norm({"x.weight_g": g, "x.weight_v": v}, "x")
         norms = np.linalg.norm(w.reshape(4, -1), axis=1)
         np.testing.assert_allclose(norms, 2.0, rtol=1e-5)
+
+
+class TestAMPBlock2:
+    def test_resblock_type_2_shapes(self):
+        cfg2 = VocoderConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=32,
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 2),),
+            resblock_type="2",
+        )
+        model = BigVGANGenerator(cfg=cfg2)
+        mel = jax.random.normal(jax.random.key(0), (1, 16, 80))
+        params = model.init(jax.random.key(1), mel)
+        wav = model.apply(params, mel)
+        assert wav.shape == (1, 16 * cfg2.hop)
+        # AMPBlock2 params: conv_/act_ (no conv1_/conv2_)
+        blk = params["params"]["resblock_0_0"]
+        assert "conv_0" in blk and "conv1_0" not in blk
+
+    def test_v2_presets(self):
+        from lm2a_tpu.vocoder import BIGVGAN_V2_24KHZ_100BAND, BIGVGAN_V2_44KHZ_128BAND
+
+        assert BIGVGAN_V2_24KHZ_100BAND.hop == 256
+        assert BIGVGAN_V2_24KHZ_100BAND.num_mels == 100
+        assert BIGVGAN_V2_44KHZ_128BAND.hop == 512
