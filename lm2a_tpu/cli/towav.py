@@ -18,7 +18,8 @@ def build_parser(p=None):
     p.add_argument("--weights", default=None,
                    help="NVIDIA BigVGAN torch checkpoint (.pt) to convert+load")
     p.add_argument("--preset", default="bigvgan_22khz_80band",
-                   choices=["bigvgan_22khz_80band", "bigvgan_base_22khz_80band"])
+                   choices=["bigvgan_22khz_80band", "bigvgan_base_22khz_80band",
+                            "bigvgan_v2_24khz_100band", "bigvgan_v2_44khz_128band"])
     return p
 
 
@@ -27,6 +28,8 @@ def main(args=None):
     from lm2a_tpu.vocoder import (
         BIGVGAN_22KHZ_80BAND,
         BIGVGAN_BASE_22KHZ_80BAND,
+        BIGVGAN_V2_24KHZ_100BAND,
+        BIGVGAN_V2_44KHZ_128BAND,
         Vocoder,
         batch_npz_to_wav,
         npz_to_wav,
@@ -35,6 +38,8 @@ def main(args=None):
     cfg = {
         "bigvgan_22khz_80band": BIGVGAN_22KHZ_80BAND,
         "bigvgan_base_22khz_80band": BIGVGAN_BASE_22KHZ_80BAND,
+        "bigvgan_v2_24khz_100band": BIGVGAN_V2_24KHZ_100BAND,
+        "bigvgan_v2_44khz_128band": BIGVGAN_V2_44KHZ_128BAND,
     }[args.preset]
     voc = Vocoder(weights_path=args.weights, cfg=cfg)
 
