@@ -1,0 +1,124 @@
+"""Tensor parallelism: physically shard parameters over the model axis.
+
+Beyond the reference (strictly single-device) and beyond what its workload
+needs — this is the scaling extension for models that outgrow one chip's
+HBM. Strategy: output-feature sharding for every kernel (column-parallel
+everywhere), biases/scales sharded when divisible. GSPMD propagates the
+activation shardings and inserts the collectives; semantics are guaranteed
+identical to the replicated computation (verified in tests on a virtual
+(data, model) mesh).
+
+The memory win is real and immediate: each device holds 1/TP of every
+eligible parameter, optimizer moment, and EMA copy (Adan keeps 4 extra
+param-sized trees, so at TP=4 a 134M-param model's optimizer state drops
+from ~3.2 GB to ~0.8 GB per device).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lm2a_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _leaf_spec(path, leaf, tp: int) -> P:
+    """Partition rule for one parameter leaf.
+
+    kernels: shard the OUTPUT-features (last) axis when divisible;
+    1-D params (bias / scale / snake alphas): shard when divisible.
+    Everything else replicated.
+    """
+    name = None
+    for entry in reversed(path):
+        key = getattr(entry, "key", None) or getattr(entry, "name", None)
+        if key is not None:
+            name = str(key)
+            break
+    shape = np.shape(leaf)
+    if not shape:
+        return P()
+    if name == "kernel" and len(shape) >= 2 and shape[-1] % tp == 0:
+        return P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
+    if len(shape) == 1 and shape[0] % tp == 0 and name in ("bias", "scale"):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def tp_shardings(tree: Any, mesh: Mesh):
+    """NamedSharding pytree for params/opt-state/EMA under tensor parallelism."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def one(path, leaf):
+        if tp <= 1:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _leaf_spec(path, leaf, tp))
+
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Place a TrainState on the mesh with TP param/opt/EMA shardings."""
+    shardings = state_shardings_tp(state, mesh)
+    placed = jax.tree.map(jax.device_put, state, shardings)
+    return placed, shardings
+
+
+def state_shardings_tp(state, mesh: Mesh):
+    """Sharding pytree matching a TrainState: params/EMA/optimizer moments
+    sharded by the TP rule (moments mirror their parameters' shapes so the
+    same path rule applies), scalars replicated."""
+    rep = NamedSharding(mesh, P())
+    return type(state)(
+        step=rep,
+        params=tp_shardings(state.params, mesh),
+        ema_params=tp_shardings(state.ema_params, mesh),
+        opt_state=tp_shardings(state.opt_state, mesh),
+    )
+
+
+def make_tp_train_step(denoiser, cond_proj, schedule, cfg, tx, mesh: Mesh,
+                       state_template, dataset_mean=0.0, dataset_std=1.0):
+    """Data-parallel batch + tensor-parallel parameters in one jitted step.
+
+    ``state_template`` supplies shapes for the sharding pytree. Returns
+    (train_step, state_shardings); place the state with ``shard_state_tp``
+    (or jax.device_put with the returned shardings) before stepping.
+    """
+    from functools import partial
+
+    import optax
+
+    from lm2a_tpu.training.train_step import TrainState, _loss
+
+    ema_decay = cfg.train.ema_decay
+
+    def step_fn(state, batch, key):
+        loss_fn = partial(
+            _loss, denoiser=denoiser, cond_proj=cond_proj, schedule=schedule,
+            batch=batch, key=key, cond_drop_prob=cfg.train.cond_drop_prob,
+            dataset_mean=dataset_mean, dataset_std=dataset_std, train=True,
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params,
+        )
+        return TrainState(step=state.step + 1, params=params,
+                          ema_params=ema_params, opt_state=opt_state), loss
+
+    state_sh = state_shardings_tp(state_template, mesh)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    step = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=0,
+    )
+    return step, state_sh

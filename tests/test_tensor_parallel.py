@@ -1,0 +1,120 @@
+"""Tensor parallelism: sharded-parameter training matches replicated math,
+and parameters are genuinely distributed (per-device shards shrink)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lm2a_tpu.core.config import (
+    DiffusionConfig,
+    LM2AConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from lm2a_tpu.core.mesh import MODEL_AXIS, make_mesh, shard_batch
+from lm2a_tpu.diffusion.schedule import make_schedule
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.parallel.tensor import make_tp_train_step, shard_state_tp, tp_shardings
+from lm2a_tpu.training import init_train_state, make_train_step
+
+CFG = LM2AConfig(
+    model=ModelConfig(
+        base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+        num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        motion_dim=12, text_dim=24,
+    ),
+    diffusion=DiffusionConfig(timesteps=20),
+    train=TrainConfig(batch_size=8, lr=1e-3, ema_decay=0.9),
+)
+T_MEL = 32
+
+
+def make_batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "mel": rng.normal(size=(b, T_MEL, 80)).astype(np.float32),
+        "motion": rng.normal(size=(b, T_MEL, 12)).astype(np.float32),
+        "lyrics": rng.normal(size=(b, T_MEL, 24)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    denoiser = build_denoiser(CFG.model)
+    cond_proj = build_cond_projection(CFG.model)
+    schedule = make_schedule(CFG.diffusion)
+    state, tx = init_train_state(denoiser, cond_proj, CFG, jax.random.key(0),
+                                 seq_len=T_MEL)
+    return denoiser, cond_proj, schedule, state, tx
+
+
+class TestShardingRules:
+    def test_kernels_sharded_on_output_features(self, setup):
+        _, _, _, state, _ = setup
+        mesh = make_mesh(model=4)
+        sh = tp_shardings(state.params, mesh)
+        k = sh["unet"]["in_proj"]["kernel"]  # (1, 80, 16): 16 % 4 == 0
+        assert k.spec == jax.sharding.PartitionSpec(None, None, MODEL_AXIS)
+        b = sh["unet"]["in_proj"]["bias"]  # (16,)
+        assert b.spec == jax.sharding.PartitionSpec(MODEL_AXIS)
+
+    def test_indivisible_leaves_replicated(self, setup):
+        _, _, _, state, _ = setup
+        mesh = make_mesh(model=4)
+        sh = tp_shardings(state.params, mesh)
+        # cond_dim=8 per-branch fuse output 16 fine; motion_proj bias (8,) ok;
+        # check a GroupNorm scale of 80-ch output head: 80 % 4 == 0 -> sharded
+        gn = sh["unet"]["out_gn"]["scale"]
+        assert gn.spec == jax.sharding.PartitionSpec(MODEL_AXIS)
+
+    def test_params_physically_distributed(self, setup):
+        _, _, _, state, _ = setup
+        mesh = make_mesh(model=4)  # (data=2, model=4)
+        placed, _ = shard_state_tp(state, mesh)
+        kernel = placed.params["unet"]["mid_block_0"]["conv1"]["kernel"]
+        full = np.prod(kernel.shape)
+        shard_elems = np.prod(kernel.addressable_shards[0].data.shape)
+        assert shard_elems == full // 4  # 1/TP of the kernel per device
+
+
+class TestTPTraining:
+    def test_tp_step_matches_replicated(self, setup):
+        denoiser, cond_proj, schedule, state, tx = setup
+        mesh = make_mesh(model=4)
+
+        ref_step = make_train_step(denoiser, cond_proj, schedule, CFG, tx)
+        st_ref = jax.tree.map(jnp.copy, state)
+        batch = make_batch()
+        key = jax.random.key(3)
+        st_ref, loss_ref = ref_step(st_ref, batch, key)
+
+        tp_step, _ = make_tp_train_step(
+            denoiser, cond_proj, schedule, CFG, tx, mesh, state
+        )
+        st_tp, _sh = shard_state_tp(jax.tree.map(jnp.copy, state), mesh)
+        st_tp, loss_tp = tp_step(st_tp, shard_batch(mesh, batch), key)
+
+        assert float(loss_ref) == pytest.approx(float(loss_tp), rel=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_tp.params["unet"]["in_proj"]["kernel"]),
+            np.asarray(st_ref.params["unet"]["in_proj"]["kernel"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_tp.ema_params["unet"]["mid_block_0"]["conv2"]["kernel"]),
+            np.asarray(st_ref.ema_params["unet"]["mid_block_0"]["conv2"]["kernel"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_tp_step_keeps_shardings(self, setup):
+        denoiser, cond_proj, schedule, state, tx = setup
+        mesh = make_mesh(model=2)
+        tp_step, _ = make_tp_train_step(
+            denoiser, cond_proj, schedule, CFG, tx, mesh, state
+        )
+        st, _ = shard_state_tp(jax.tree.map(jnp.copy, state), mesh)
+        st, _loss = tp_step(st, shard_batch(mesh, make_batch()), jax.random.key(0))
+        kernel = st.params["unet"]["mid_block_0"]["conv1"]["kernel"]
+        shard_elems = np.prod(kernel.addressable_shards[0].data.shape)
+        assert shard_elems == np.prod(kernel.shape) // 2
