@@ -15,7 +15,9 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -118,13 +120,20 @@ struct Loader {
   std::thread worker;
   std::mutex mu;
   std::condition_variable cv;
-  bool has_request = false;
+  bool has_request = false;  // a request is queued, worker not started on it
+  bool busy = false;         // worker is actively gathering into the buffers
   bool request_done = false;
   bool shutdown = false;
   Request req;
 
   void gather(const std::vector<int64_t>& idx, float* mel_out,
               float* motion_out, float* lyrics_out) const {
+    // Test hook: LM2A_LOADER_TEST_DELAY_US widens the copy window so the
+    // wait()-during-gather race (if reintroduced) fails deterministically.
+    if (const char* d = getenv("LM2A_LOADER_TEST_DELAY_US")) {
+      long us = strtol(d, nullptr, 10);
+      if (us > 0) std::this_thread::sleep_for(std::chrono::microseconds(us));
+    }
     const NpyArray* arrs[3] = {&mel, &motion, &lyrics};
     float* outs[3] = {mel_out, motion_out, lyrics_out};
     for (int a = 0; a < 3; ++a) {
@@ -144,10 +153,15 @@ struct Loader {
       cv.wait(lk, [this] { return has_request || shutdown; });
       if (shutdown) return;
       Request r = std::move(req);
+      // `busy` stays true (and `request_done` false) until the copy below
+      // has fully landed in the caller's buffers; clearing has_request alone
+      // here previously let wait() return mid-gather (torn batches).
       has_request = false;
+      busy = true;
       lk.unlock();
       gather(r.idx, r.mel, r.motion, r.lyrics);
       lk.lock();
+      busy = false;
       request_done = true;
       cv.notify_all();
     }
@@ -202,7 +216,7 @@ int lm2a_loader_submit(void* handle, const int64_t* idx, int64_t n,
                        float* mel_out, float* motion_out, float* lyrics_out) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
-  if (l->has_request && !l->request_done) return -2;  // one in flight max
+  if (l->has_request || l->busy) return -2;  // one in flight max
   for (int64_t i = 0; i < n; ++i)
     if (idx[i] < 0 || idx[i] >= l->mel.rows) return -1;
   l->req = Request{std::vector<int64_t>(idx, idx + n), mel_out, motion_out,
@@ -216,7 +230,8 @@ int lm2a_loader_submit(void* handle, const int64_t* idx, int64_t n,
 int lm2a_loader_wait(void* handle) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
-  l->cv.wait(lk, [l] { return l->request_done || !l->has_request; });
+  // Complete only when no request is queued AND the worker is not mid-copy.
+  l->cv.wait(lk, [l] { return !l->has_request && !l->busy; });
   return 0;
 }
 

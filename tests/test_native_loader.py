@@ -58,6 +58,58 @@ class TestNativeGather:
         np.testing.assert_array_equal(out2["lyrics"], ds.gather(idx2)["lyrics"])
         ng.close()
 
+    def test_wait_during_gather_not_torn(self, tmp_path, monkeypatch):
+        """Regression: wait() issued while the gather is in flight must block.
+
+        Production-sized rows (516 frames -> ~2.2 MB/row) plus an injected
+        worker delay (LM2A_LOADER_TEST_DELAY_US) widen the copy window; on the
+        pre-fix code wait() returned as soon as the worker dequeued the
+        request (has_request cleared before the memcpy), handing back torn
+        batches. Mirrors the submit->wait-immediately pattern BatchIterator
+        uses for the first batch of every epoch.
+        """
+        src = tmp_path / "npz"
+        src.mkdir()
+        rng = np.random.default_rng(7)
+        n_rows, T = 8, 516
+        for i in range(n_rows):
+            save_sample(str(src / f"sample_{i:08d}.npz"), Sample(
+                mel=rng.normal(size=(80, T)).astype(np.float32),
+                motion=rng.normal(size=(180, 234)).astype(np.float32),
+                lyrics=rng.normal(size=(180, 768)).astype(np.float32),
+            ))
+        out = str(tmp_path / "pack")
+        pack_dataset(str(src), out)
+
+        monkeypatch.setenv("LM2A_LOADER_TEST_DELAY_US", "20000")
+        ng = NativeGather(out)
+        ds = PackedDataset(out, use_native=False)
+        try:
+            for trial in range(5):
+                idx = np.arange(n_rows, dtype=np.int64)
+                np.random.default_rng(trial).shuffle(idx)
+                ng.submit(idx)
+                got = ng.wait()  # issued while the delayed gather is in flight
+                want = ds.gather(idx)
+                for k in ("mel", "motion", "lyrics"):
+                    np.testing.assert_array_equal(
+                        got[k], want[k],
+                        err_msg=f"torn batch: key={k} trial={trial}")
+        finally:
+            ng.close()
+
+    def test_submit_while_busy_rejected(self, pack_dir, monkeypatch):
+        """A second submit during an in-flight gather must return busy (-2)."""
+        monkeypatch.setenv("LM2A_LOADER_TEST_DELAY_US", "50000")
+        ng = NativeGather(pack_dir)
+        try:
+            ng.submit(np.array([0, 1]))
+            with pytest.raises(RuntimeError, match="-2"):
+                ng.submit(np.array([2, 3]))
+            ng.wait()
+        finally:
+            ng.close()
+
     def test_out_of_range_rejected(self, pack_dir):
         ng = NativeGather(pack_dir)
         with pytest.raises(IndexError):
