@@ -14,6 +14,8 @@ def build_parser(p=None):
                    help="root containing sample_*/{gt.wav,gen.wav}")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--no-clap", action="store_false", dest="use_clap", default=True)
+    p.add_argument("--clap_ckpt", default=None,
+                   help="local LAION-CLAP checkpoint file (skips the download)")
     return p
 
 
@@ -21,7 +23,8 @@ def main(args=None):
     args = build_parser().parse_args(args)
     from lm2a_tpu.eval import evaluate_all
 
-    final = evaluate_all(args.eval_dir, args.output_dir, use_clap=args.use_clap)
+    final = evaluate_all(args.eval_dir, args.output_dir, use_clap=args.use_clap,
+                         clap_ckpt=args.clap_ckpt)
     md = final["metadata"]
     print("=" * 40)
     print(f"samples: {md['total_samples']}")

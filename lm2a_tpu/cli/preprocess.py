@@ -18,6 +18,9 @@ def build_parser(p=None):
     p.add_argument("--sr", type=int, default=22050)
     p.add_argument("--lyrics_backend", default="auto",
                    choices=["auto", "roberta", "hashed"])
+    p.add_argument("--roberta_path", default=None,
+                   help="local HF model dir for the roberta lyric embedder "
+                        "(default: the 'roberta-base' hub name)")
     return p
 
 
@@ -32,6 +35,7 @@ def main(args=None):
         sequence_seconds=args.sequence_seconds, fps=args.fps, sr=args.sr,
         mel_cfg=MelConfig(sample_rate=args.sr),
         lyrics_backend=args.lyrics_backend,
+        lyrics_model_path=args.roberta_path,
     )
     print("wrote samples:", n)
 

@@ -17,10 +17,15 @@ def build_parser(p=None):
     p.add_argument("--ckpt", required=True,
                    help="orbax checkpoint dir OR reference torch .pt file")
     p.add_argument("--out_dir", required=True)
-    p.add_argument("--guidance", type=float, default=1.0,
-                   help="CFG weight; 1.0 disables guidance")
-    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--guidance", type=float, default=None,
+                   help="CFG weight; 1.0 disables guidance "
+                        "(default: checkpoint's guidance_weight, else 1.0)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="diffusion schedule length "
+                        "(default: the checkpoint's timesteps)")
     p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--ddim_steps", type=int, default=None,
+                   help="DDIM sampler steps over the schedule (default 50)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_png", action="store_true")
     p.add_argument("--debug", action="store_true",
@@ -49,6 +54,7 @@ def main(args=None):
             files, args.ckpt, args.out_dir,
             steps=args.steps, guidance_weight=args.guidance,
             method=args.method, seed=args.seed, batch_size=args.batch_size,
+            ddim_steps=args.ddim_steps,
         )
         print(f"wrote {len(written)} files")
         return
@@ -69,7 +75,7 @@ def main(args=None):
         npz_path, args.ckpt, args.out_dir,
         steps=args.steps, guidance_weight=args.guidance,
         method=args.method, seed=args.seed, save_png=not args.no_png,
-        debug=args.debug,
+        debug=args.debug, ddim_steps=args.ddim_steps,
     )
     print("wrote", out)
 

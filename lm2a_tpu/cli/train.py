@@ -37,6 +37,9 @@ def build_parser(p=None):
     p.add_argument("--dataset_mean", type=float, default=None)
     p.add_argument("--dataset_std", type=float, default=None)
     p.add_argument("--val_cap_batches", type=int, default=20)
+    p.add_argument("--validate_every_epochs", type=float, default=0.5,
+                   help="validate when (epoch+1) %% N == 0; the reference "
+                        "default 0.5 means every epoch")
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--ema_decay", type=float, default=0.999)
     p.add_argument("--cond_drop_prob", type=float, default=0.2)
@@ -92,6 +95,7 @@ def config_from_args(args):
             save_interval=args.save_interval,
             log_interval=args.log_interval,
             val_cap_batches=args.val_cap_batches,
+            validate_every_epochs=args.validate_every_epochs,
             seed=args.seed,
             lr_decay_steps=decay_steps,
             lr_decay_factors=decay_factors,

@@ -88,7 +88,9 @@ class TrainConfig:
     save_interval: int = 1000
     log_interval: int = 10
     val_cap_batches: int = 20
-    validate_every_epochs: int = 1  # reference default 0.5 acts as every-epoch
+    # reference default 0.5: any integer (epoch+1) % 0.5 == 0 -> every epoch;
+    # values >= 1 validate every N epochs (reference train.py:222,293)
+    validate_every_epochs: float = 0.5
     seed: int = 0
     # "" disables LR decay (reference semantics)
     lr_decay_steps: Tuple[int, ...] = ()

@@ -121,10 +121,11 @@ def make_dataset(
     mel_cfg: Optional[MelConfig] = None,
     lyrics_backend: str = "auto",
     embedder: Optional[LyricsEmbedder] = None,
+    lyrics_model_path: Optional[str] = None,
 ) -> int:
     """Build the shard directory; returns the number of samples written."""
     mel_cfg = mel_cfg or MelConfig(sample_rate=sr)
-    embedder = embedder or get_lyrics_embedder(lyrics_backend)
+    embedder = embedder or get_lyrics_embedder(lyrics_backend, lyrics_model_path)
     os.makedirs(out_dir, exist_ok=True)
 
     moments = RunningMoments()

@@ -110,7 +110,10 @@ def _mean_of(results: Dict[str, Dict], key: str) -> Optional[float]:
     return float(np.mean(vals)) if vals else None
 
 
-def evaluate_all(eval_root: str, output_dir: str, use_clap: bool = True) -> Dict:
+def evaluate_all(
+    eval_root: str, output_dir: str, use_clap: bool = True,
+    clap_ckpt: Optional[str] = None,
+) -> Dict:
     os.makedirs(output_dir, exist_ok=True)
     samples = scan_evaluation_dir(eval_root)
     print(f"found {len(samples)} samples under {eval_root}")
@@ -122,7 +125,7 @@ def evaluate_all(eval_root: str, output_dir: str, use_clap: bool = True) -> Dict
         try:
             from lm2a_tpu.eval.wav_metrics import CLAPEvaluator
 
-            clap = CLAPEvaluator()
+            clap = CLAPEvaluator(ckpt=clap_ckpt)
         except Exception as e:
             print(f"CLAP unavailable ({type(e).__name__}); continuing without it")
 

@@ -20,12 +20,14 @@ import numpy as np
 
 
 def _gaussian_filter_1d(x: np.ndarray, sigma: float, truncate: float = 3.5):
-    """Reflect-padded 1-D Gaussian filter along the last axis (scipy semantics)."""
+    """1-D Gaussian filter along the last axis with scipy.ndimage's default
+    boundary ('reflect' = edge-repeating, i.e. numpy's 'symmetric' —
+    (d c b a | a b c d) — NOT numpy's edge-excluding 'reflect')."""
     r = int(truncate * sigma + 0.5)
     k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
     k /= k.sum()
     pad = [(0, 0)] * (x.ndim - 1) + [(r, r)]
-    xp = np.pad(x, pad, mode="reflect")
+    xp = np.pad(x, pad, mode="symmetric")
     out = np.zeros_like(x, dtype=np.float64)
     for i in range(2 * r + 1):
         out += k[i] * xp[..., i : i + x.shape[-1]]

@@ -178,13 +178,21 @@ def compute_va_metrics(gt_va, gen_va) -> Dict:
 
 
 class CLAPEvaluator:
-    """LAION-CLAP semantic similarity — optional heavy dependency."""
+    """LAION-CLAP semantic similarity — optional heavy dependency.
 
-    def __init__(self, device: str = "cpu"):
+    ``ckpt`` points at a local CLAP checkpoint file for zero-egress hosts;
+    without it, ``load_ckpt()`` downloads the default 630k-sample model
+    (the reference behavior, ``/root/reference/metrics/clap.py:7-14``).
+    """
+
+    def __init__(self, device: str = "cpu", ckpt: Optional[str] = None):
         import laion_clap  # gated: not in this image; raises cleanly
 
         self.model = laion_clap.CLAP_Module(enable_fusion=False)
-        self.model.load_ckpt()
+        if ckpt:
+            self.model.load_ckpt(ckpt)
+        else:
+            self.model.load_ckpt()
         self.model.eval()
 
     def compute_metrics(self, gt_files, gen_files) -> Dict:

@@ -45,6 +45,9 @@ class LoadedModels:
     dataset_mean: float
     dataset_std: float
     timesteps: int
+    # checkpoint-carried CFG weight; the reference lets a checkpointed
+    # 'guidance_weight' override the CLI default (sample.py:140)
+    guidance_weight: Optional[float] = None
     # jitted sampler cache keyed by (mel_t, steps, guidance, method, batch) —
     # batch assessment reuses one compiled chain across all clips
     _samplers: dict = field(default_factory=dict)
@@ -59,6 +62,7 @@ def load_models(
     """Load an orbax checkpoint dir or a reference torch checkpoint file."""
     mean, std = FALLBACK_MEL_MEAN, FALLBACK_MEL_STD
     timesteps = None
+    guidance_weight = None
 
     if os.path.isdir(ckpt_path):  # our orbax layout
         from lm2a_tpu.core.config import config_from_dict
@@ -95,13 +99,44 @@ def load_models(
             std = float(meta["dataset_std"])
         if meta.get("timesteps") is not None:
             timesteps = int(meta["timesteps"])
+        if meta.get("guidance_weight") is not None:
+            guidance_weight = float(meta["guidance_weight"])
 
     return LoadedModels(
         cfg=cfg, denoiser=denoiser, cond_proj=cond_proj,
         unet_params=unet_params, proj_params=proj_params,
         dataset_mean=mean, dataset_std=std,
         timesteps=timesteps or cfg.diffusion.timesteps,
+        guidance_weight=guidance_weight,
     )
+
+
+def _resolve_run_params(models: LoadedModels, steps, guidance_weight):
+    """Reference precedence (sample.py:118-120,140): an explicit CLI value
+    wins; otherwise the checkpoint's timesteps / guidance_weight; otherwise
+    the defaults (ckpt timesteps always exist; guidance falls back to 1.0)."""
+    steps = int(steps) if steps else models.timesteps
+    if guidance_weight is None:
+        guidance_weight = (
+            models.guidance_weight if models.guidance_weight is not None else 1.0
+        )
+    return steps, float(guidance_weight)
+
+
+def _ddim_num_steps(steps: int, ddim_steps: Optional[int]) -> int:
+    """DDIM sub-schedule length; logs when the requested steps are adjusted."""
+    import sys
+
+    if ddim_steps is not None:
+        return int(ddim_steps)
+    if steps > 50:
+        print(
+            f"[sample] ddim: running 50 sampler steps over the {steps}-step "
+            "schedule (pass --ddim_steps to change)",
+            file=sys.stderr,
+        )
+        return 50
+    return steps
 
 
 def generate_mel(
@@ -110,11 +145,12 @@ def generate_mel(
     lyrics: np.ndarray,  # (T_l, 768)
     mel_t: int,
     steps: Optional[int] = None,
-    guidance_weight: float = 1.0,
+    guidance_weight: Optional[float] = None,
     method: str = "ddpm",
     seed: int = 0,
     batch: int = 1,
     debug: bool = False,
+    ddim_steps: Optional[int] = None,
 ):
     """Run the sampler; returns (mel (B, 80, mel_T) de-normalized, motion_f,
     text_f). The whole chain is one jitted scan program.
@@ -124,7 +160,7 @@ def generate_mel(
     reference's sampling telemetry without a device sync per step.
     """
     cfg = models.cfg
-    steps = steps or models.timesteps
+    steps, guidance_weight = _resolve_run_params(models, steps, guidance_weight)
     debug = debug and method == "ddpm"
 
     motion_rs = match_len(np.asarray(motion, np.float32), mel_t, mode="interp")
@@ -134,7 +170,8 @@ def generate_mel(
 
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
-    cache_key = (mel_t, steps, float(guidance_weight), method, batch, debug)
+    num_ddim = None if method == "ddpm" else _ddim_num_steps(steps, ddim_steps)
+    cache_key = (mel_t, steps, guidance_weight, method, batch, debug, num_ddim)
     run = models._samplers.get(cache_key)
     if run is None:
         schedule = make_schedule(
@@ -145,13 +182,15 @@ def generate_mel(
             )
         )
         sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
-        kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
+        kwargs = {} if method == "ddpm" else {"num_steps": num_ddim}
         if debug:
             kwargs["collect_stats"] = True
+        # constant-fold the CFG uncond rows' cross-attention (exact math)
+        kwargs["uncond_fast"] = guidance_weight > 1.0
 
         def model_fn_with(params):
-            def model_fn(x, t, m, l):
-                return models.denoiser.apply(params, x, t, m, l)
+            def model_fn(x, t, m, l, **kw):
+                return models.denoiser.apply(params, x, t, m, l, **kw)
 
             return model_fn
 
@@ -202,9 +241,10 @@ def generate_mel_batch(
     lyrics_list,  # list of (T_l, 768)
     mel_t: int,
     steps: Optional[int] = None,
-    guidance_weight: float = 1.0,
+    guidance_weight: Optional[float] = None,
     method: str = "ddpm",
     seed: int = 0,
+    ddim_steps: Optional[int] = None,
 ):
     """True multi-clip batched generation: different conditions per row.
 
@@ -213,7 +253,7 @@ def generate_mel_batch(
     Returns (mel (B, 80, mel_t), motion_rs list, lyrics_rs list).
     """
     cfg = models.cfg
-    steps = steps or models.timesteps
+    steps, guidance_weight = _resolve_run_params(models, steps, guidance_weight)
     b = len(motions)
     motion_rs = [match_len(np.asarray(m, np.float32), mel_t, "interp") for m in motions]
     lyrics_rs = [match_len(np.asarray(l, np.float32), mel_t, "interp") for l in lyrics_list]
@@ -221,7 +261,8 @@ def generate_mel_batch(
     lyrics_b = jnp.asarray(np.stack(lyrics_rs))
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
-    cache_key = (mel_t, steps, float(guidance_weight), method, b)
+    num_ddim = None if method == "ddpm" else _ddim_num_steps(steps, ddim_steps)
+    cache_key = (mel_t, steps, guidance_weight, method, b, num_ddim)
     run = models._samplers.get(cache_key)
     if run is None:
         schedule = make_schedule(
@@ -232,12 +273,13 @@ def generate_mel_batch(
             )
         )
         sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
-        kwargs = {} if method == "ddpm" else {"num_steps": min(steps, 50)}
+        kwargs = {} if method == "ddpm" else {"num_steps": num_ddim}
+        kwargs["uncond_fast"] = guidance_weight > 1.0
 
         @jax.jit
         def run(params, key, motion_f, text_f):
-            def model_fn(x, t, m, l):
-                return models.denoiser.apply(params, x, t, m, l)
+            def model_fn(x, t, m, l, **kw):
+                return models.denoiser.apply(params, x, t, m, l, **kw)
 
             return sampler(
                 model_fn, schedule, key, (b, mel_t, cfg.model.in_dim),
@@ -255,13 +297,14 @@ def sample_batch_from_npz(
     npz_paths,
     ckpt_path: str,
     out_dir: str,
-    steps: int = 1000,
-    guidance_weight: float = 1.0,
+    steps: Optional[int] = None,
+    guidance_weight: Optional[float] = None,
     method: str = "ddpm",
     seed: int = 0,
     cfg: Optional[LM2AConfig] = None,
     models: Optional[LoadedModels] = None,
     batch_size: int = 8,
+    ddim_steps: Optional[int] = None,
 ):
     """Batched multi-clip generation over a list of npz files.
 
@@ -288,7 +331,7 @@ def sample_batch_from_npz(
                 [s.lyrics for _, s in chunk],
                 mel_t,
                 steps=steps, guidance_weight=guidance_weight,
-                method=method, seed=seed + i,
+                method=method, seed=seed + i, ddim_steps=ddim_steps,
             )
             for j, (p, s) in enumerate(chunk):
                 base = os.path.splitext(os.path.basename(p))[0]
@@ -309,14 +352,15 @@ def sample_from_npz(
     npz_path: str,
     ckpt_path: str,
     out_dir: str,
-    steps: int = 1000,
-    guidance_weight: float = 1.0,
+    steps: Optional[int] = None,
+    guidance_weight: Optional[float] = None,
     method: str = "ddpm",
     seed: int = 0,
     cfg: Optional[LM2AConfig] = None,
     save_png: bool = True,
     models: Optional[LoadedModels] = None,
     debug: bool = False,
+    ddim_steps: Optional[int] = None,
 ) -> str:
     """End-to-end: npz conds + checkpoint -> ``<base>_gen.npz`` (+PNGs)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -329,7 +373,7 @@ def sample_from_npz(
     gen, motion_f, text_f, motion_rs, lyrics_rs = generate_mel(
         models, s.motion, s.lyrics, mel_t,
         steps=steps, guidance_weight=guidance_weight, method=method, seed=seed,
-        debug=debug,
+        debug=debug, ddim_steps=ddim_steps,
     )
     gen_mel = gen[0]  # (80, T)
     if not np.isfinite(gen_mel).all():

@@ -103,7 +103,13 @@ def make_lr_schedule(
     decay_steps: Tuple[int, ...] = (),
     decay_factors: Tuple[float, ...] = (),
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Manual step-decay: multiply by factor[i] once step passes steps[i].
+    """Manual step-decay matching the reference's boundary semantics.
+
+    The reference checks ``step >= D`` AFTER the optimizer step on a
+    0-indexed loop counter (``/root/reference/train.py:209-216``), so loop
+    steps 0..D (D+1 optimizer steps) run at the pre-decay lr and the decayed
+    lr is first applied at loop step D+1 — our 1-indexed current-step D+2.
+    ``schedule`` receives the 1-indexed current step (``state.step + 1``).
 
     Empty lists mean constant LR (the reference's default where empty
     ``--lr_decay_steps`` disables decay).
@@ -117,7 +123,7 @@ def make_lr_schedule(
     def schedule(step):
         if len(order) == 0:
             return jnp.asarray(base_lr, dtype=jnp.float32)
-        applied = jnp.where(step[None] >= steps, factors, 1.0)
+        applied = jnp.where(step[None] >= steps + 2, factors, 1.0)
         return jnp.asarray(base_lr, dtype=jnp.float32) * jnp.prod(applied)
 
     return schedule

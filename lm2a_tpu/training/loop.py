@@ -26,6 +26,7 @@ from lm2a_tpu.data.dataset import (
     PackedDataset,
     compute_dataset_stats,
     device_prefetch,
+    superbatch_iterator,
     PACK_META,
 )
 from lm2a_tpu.diffusion.schedule import make_schedule
@@ -141,75 +142,86 @@ def train(
         )
         print("saved checkpoint:", path)
 
+    k_fuse = max(1, tc.steps_per_call) if multistep is not None else 1
+    put_tagged = None
+    if k_fuse > 1:
+        # fused mode staging: superbatches (K, B, T, .) shard the SECOND axis
+        # over the data mesh; tail single batches shard the first.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lm2a_tpu.core.mesh import DATA_AXIS, batch_sharding
+
+        bsh = batch_sharding(mesh)
+        ksh = NamedSharding(mesh, P(None, DATA_AXIS))
+
+        def put_tagged(item):
+            tag, batch = item
+            sh = ksh if tag == "multi" else bsh
+            return tag, {
+                key: jax.device_put(v, sh) for key, v in batch.items()
+            }
+
     epoch = start_epoch
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
-        it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
-        k_fuse = max(1, tc.steps_per_call) if multistep is not None else 1
-        pending_batches = []
-        batch_stream = device_prefetch(it, mesh=mesh) if k_fuse == 1 else iter(it)
-        for batch in batch_stream:
-            if k_fuse > 1:
-                pending_batches.append(batch)
-                if len(pending_batches) < k_fuse:
-                    continue
-                stacked = {
-                    key: np.stack([b[key] for b in pending_batches])
-                    for key in ("mel", "motion", "lyrics")
-                }
-                offsets = np.arange(step, step + k_fuse, dtype=np.int32)
-                pending_batches = []
-                state, losses = multistep(state, stacked, root_key, offsets)
-                pending_loss = losses[-1]
-                if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
-                    last_loss = float(jax.device_get(losses[-1]))
-                    logger.log_step(epoch, step + k_fuse - 1, last_loss,
-                                    float(lr_fn(np.int32(step))))
-                step += k_fuse
-                timer.tick()
-                if tc.save_interval and step % tc.save_interval < k_fuse and step >= tc.save_interval:
-                    ckpt(epoch)
+        if k_fuse > 1:
+            # fast path: k*bs-row native gathers, double-buffered in C++,
+            # device-prefetched as one host->device transfer per dispatch
+            stream = superbatch_iterator(
+                ds, tc.batch_size, k_fuse, shuffle=True, seed=tc.seed + epoch
+            )
+            for tag, batch in device_prefetch(stream, put_fn=put_tagged):
+                if tag == "multi":
+                    offsets = np.arange(step, step + k_fuse, dtype=np.int32)
+                    state, losses = multistep(state, batch, root_key, offsets)
+                    pending_loss = losses[-1]
+                    if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
+                        last_loss = float(jax.device_get(losses[-1]))
+                        logger.log_step(epoch, step + k_fuse - 1, last_loss,
+                                        float(lr_fn(np.int32(step))))
+                    step += k_fuse
+                    timer.tick()
+                    if (tc.save_interval and step % tc.save_interval < k_fuse
+                            and step >= tc.save_interval):
+                        ckpt(epoch)
+                else:  # tail batches that don't fill a K-group
+                    step_key = jax.random.fold_in(root_key, step)
+                    state, pending_loss = train_step(state, batch, step_key)
+                    step += 1
                 if max_steps is not None and step >= max_steps:
                     stop = True
                     break
-                continue
-
-            if profile_dir is not None and step == profile_steps[0]:
-                jax.profiler.start_trace(profile_dir)
-            step_key = jax.random.fold_in(root_key, step)
-            state, loss = train_step(state, batch, step_key)
-            pending_loss = loss  # async: don't block on the device each step
-            if profile_dir is not None and step == profile_steps[1]:
-                jax.block_until_ready(pending_loss)
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {profile_dir}")
-
-            ema_dt = timer.tick()
-            if ema_dt is not None:
-                print(f"step time (ema): {ema_dt * 1e3:.2f} ms")
-            if step % tc.log_interval == 0:
-                last_loss = float(jax.device_get(pending_loss))
-                logger.log_step(epoch, step, last_loss, float(lr_fn(np.int32(step))))
-            if tc.save_interval and step % tc.save_interval == 0 and step > 0:
-                ckpt(epoch)
-            step += 1
-            if max_steps is not None and step >= max_steps:
-                stop = True
-                break
-
-        # fused mode: flush the tail batches (< k_fuse) as single steps
-        if not stop and pending_batches:
-            for batch in pending_batches:
+        else:
+            it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
+            for batch in device_prefetch(it, mesh=mesh):
+                if profile_dir is not None and step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
                 step_key = jax.random.fold_in(root_key, step)
-                state, pending_loss = train_step(state, batch, step_key)
+                state, loss = train_step(state, batch, step_key)
+                pending_loss = loss  # async: don't block on the device each step
+                if profile_dir is not None and step == profile_steps[1]:
+                    jax.block_until_ready(pending_loss)
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+
+                ema_dt = timer.tick()
+                if ema_dt is not None:
+                    print(f"step time (ema): {ema_dt * 1e3:.2f} ms")
+                if step % tc.log_interval == 0:
+                    last_loss = float(jax.device_get(pending_loss))
+                    logger.log_step(epoch, step, last_loss,
+                                    float(lr_fn(np.int32(step))))
+                if tc.save_interval and step % tc.save_interval == 0 and step > 0:
+                    ckpt(epoch)
                 step += 1
                 if max_steps is not None and step >= max_steps:
                     stop = True
                     break
-            pending_batches = []
 
         val_loss = None
-        if val_ds is not None and not stop:
+        ve = tc.validate_every_epochs
+        due_val = bool(ve) and (epoch + 1) % ve == 0
+        if val_ds is not None and not stop and due_val:
             vlosses = []
             vit = BatchIterator(val_ds, tc.batch_size, shuffle=False)
             for i, vbatch in enumerate(device_prefetch(vit, mesh=mesh)):

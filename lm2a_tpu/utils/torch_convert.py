@@ -150,7 +150,8 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig, prefer_ema: bool = True):
     proj_sd = {k: v.detach().cpu().numpy() for k, v in ck[proj_key].items()}
     meta = {
         k: ck.get(k)
-        for k in ("dataset_mean", "dataset_std", "step", "epoch", "timesteps")
+        for k in ("dataset_mean", "dataset_std", "step", "epoch", "timesteps",
+                  "guidance_weight")
         if k in ck
     }
     return convert_unet_ultimate(unet_sd, cfg), convert_cond_projection(proj_sd), meta

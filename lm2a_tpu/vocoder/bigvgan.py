@@ -49,6 +49,11 @@ class VocoderConfig:
     activation: str = "snakebeta"  # 'snake' | 'snakebeta'
     snake_logscale: bool = True
     sample_rate: int = 22050
+    # NVIDIA v2 checkpoints ship with bias-less conv_post and clamp instead of
+    # tanh at the output (use_bias_at_final / use_tanh_at_final = False in
+    # their config.json); v1 uses bias + tanh.
+    use_bias_at_final: bool = True
+    use_tanh_at_final: bool = True
 
     @property
     def hop(self) -> int:
@@ -70,6 +75,8 @@ BIGVGAN_BASE_22KHZ_80BAND = VocoderConfig(
 BIGVGAN_V2_24KHZ_100BAND = VocoderConfig(
     num_mels=100,
     sample_rate=24000,
+    use_bias_at_final=False,
+    use_tanh_at_final=False,
 )
 # nvidia/bigvgan_v2_44khz_128band_512x
 BIGVGAN_V2_44KHZ_128BAND = VocoderConfig(
@@ -77,6 +84,8 @@ BIGVGAN_V2_44KHZ_128BAND = VocoderConfig(
     sample_rate=44100,
     upsample_rates=(8, 4, 2, 2, 2, 2),
     upsample_kernel_sizes=(16, 8, 4, 4, 4, 4),
+    use_bias_at_final=False,
+    use_tanh_at_final=False,
 )
 
 
@@ -204,5 +213,10 @@ class BigVGANGenerator(nn.Module):
             ch, beta=beta, logscale=c.snake_logscale, dtype=self.dtype,
             name="activation_post",
         )(x)
-        x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype, name="conv_post")(x)
-        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+        x = nn.Conv(
+            1, (7,), padding=[(3, 3)], use_bias=c.use_bias_at_final,
+            dtype=self.dtype, name="conv_post",
+        )(x)
+        x = x.astype(jnp.float32)
+        x = jnp.tanh(x) if c.use_tanh_at_final else jnp.clip(x, -1.0, 1.0)
+        return x[..., 0]

@@ -31,12 +31,12 @@ def _fold_weight_norm(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
     return g * v / np.maximum(norm, 1e-12)
 
 
-def _conv(sd, prefix):
+def _conv(sd, prefix, bias: bool = True):
     w = _fold_weight_norm(sd, prefix)
-    return {
-        "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
-        "bias": np.asarray(sd[f"{prefix}.bias"]),
-    }
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if bias:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
 
 
 def _conv_transpose(sd, prefix):
@@ -60,7 +60,7 @@ def convert_bigvgan(sd: Dict[str, np.ndarray], cfg: VocoderConfig) -> Dict:
     beta = cfg.activation == "snakebeta"
     p: Dict = {
         "conv_pre": _conv(sd, "conv_pre"),
-        "conv_post": _conv(sd, "conv_post"),
+        "conv_post": _conv(sd, "conv_post", bias=cfg.use_bias_at_final),
         "activation_post": _snake(sd, "activation_post.act", beta),
     }
     nk = len(cfg.resblock_kernel_sizes)

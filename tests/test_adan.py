@@ -109,7 +109,50 @@ class TestLRSchedule:
         assert float(f(jnp.int32(10**6))) == pytest.approx(2e-4)
 
     def test_step_decay(self):
+        # Reference boundary semantics (train.py:209-216): the decayed lr is
+        # first applied at 0-indexed loop step D+1, i.e. 1-indexed step D+2.
         f = make_lr_schedule(1.0, (100, 200), (0.5, 0.1))
-        assert float(f(jnp.int32(99))) == pytest.approx(1.0)
-        assert float(f(jnp.int32(100))) == pytest.approx(0.5)
+        assert float(f(jnp.int32(101))) == pytest.approx(1.0)
+        assert float(f(jnp.int32(102))) == pytest.approx(0.5)
+        assert float(f(jnp.int32(201))) == pytest.approx(0.5)
+        assert float(f(jnp.int32(202))) == pytest.approx(0.05)
         assert float(f(jnp.int32(250))) == pytest.approx(0.05)
+
+    @pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree absent")
+    def test_decay_boundary_matches_reference_loop(self):
+        """Simulate the reference's post-step decay check with its torch Adan
+        and assert our scheduled optimizer lands on the same trajectory."""
+        torch = pytest.importorskip("torch")
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        from models.adan import Adan as TorchAdan
+
+        rng = np.random.default_rng(2)
+        p0 = rng.normal(size=(4,)).astype(np.float32)
+        grads = [rng.normal(size=(4,)).astype(np.float32) for _ in range(10)]
+        decay_at, factor = 3, 0.1
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = TorchAdan([tp], lr=1e-2, weight_decay=0.0)
+        ref_traj = []
+        current_lr, decay_done = 1e-2, False
+        for step, g in enumerate(grads):  # reference train loop, 0-indexed
+            tp.grad = torch.from_numpy(g.copy())
+            topt.step()
+            ref_traj.append(tp.detach().numpy().copy())
+            if not decay_done and step >= decay_at:
+                current_lr *= factor
+                for pg in topt.param_groups:
+                    pg["lr"] = current_lr
+                decay_done = True
+
+        sched = make_lr_schedule(1e-2, (decay_at,), (factor,))
+        opt = adan(sched, weight_decay=0.0)
+        params = {"w": jnp.asarray(p0)}
+        state = opt.init(params)
+        for g, want in zip(grads, ref_traj):
+            updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+            params = {"w": params["w"] + updates["w"]}
+            np.testing.assert_allclose(
+                np.asarray(params["w"]), want, rtol=2e-4, atol=1e-6
+            )

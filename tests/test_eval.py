@@ -57,6 +57,40 @@ class TestMelMetrics:
         b = np.clip(rng.normal(size=(4, 64)), 0, 1)
         assert -1.0 <= ssim_1d_channels(a, b) <= 1.0
 
+    def test_ssim_matches_scipy_oracle(self):
+        """Independent oracle of skimage's structural_similarity semantics
+        (channel_axis=0, win_size=7, sigma=1.5, gaussian_weights=True,
+        use_sample_covariance=False, data_range=1.0) built on
+        scipy.ndimage.gaussian_filter1d — scipy owns the boundary handling
+        (default 'reflect' = edge-repeating) and truncation, the two places
+        a reimplementation is most likely to drift."""
+        from scipy.ndimage import gaussian_filter1d
+
+        def oracle(x, y, data_range=1.0, win_size=7, sigma=1.5):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            c1 = (0.01 * data_range) ** 2
+            c2 = (0.03 * data_range) ** 2
+            # skimage passes truncate=3.5 when gaussian_weights=True
+            f = lambda a: gaussian_filter1d(a, sigma, axis=-1, truncate=3.5)
+            ux, uy = f(x), f(y)
+            vx = f(x * x) - ux * ux
+            vy = f(y * y) - uy * uy
+            vxy = f(x * y) - ux * uy
+            s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+                (ux**2 + uy**2 + c1) * (vx + vy + c2)
+            )
+            pad = (win_size - 1) // 2
+            return float(s[..., pad:-pad].mean())
+
+        rng = np.random.default_rng(7)
+        for t in (30, 64, 516):
+            a = np.clip(rng.normal(0.5, 0.25, size=(80, t)), 0, 1)
+            b = np.clip(a + rng.normal(0, 0.1, size=(80, t)), 0, 1)
+            ours = ssim_1d_channels(a, b)
+            want = oracle(a, b)
+            assert ours == pytest.approx(want, abs=1e-10), f"T={t}"
+
 
 class TestMFCC:
     def test_shape_and_determinism(self):

@@ -144,3 +144,72 @@ class TestBatchedGeneration:
         a = np.load(out[0])["mel"]
         b = np.load(out[1])["mel"]
         assert not np.allclose(a, b)
+
+
+class TestRunParamPrecedence:
+    """Reference precedence (sample.py:118-120,140): checkpoint timesteps /
+    guidance_weight fill in when the CLI passes none; explicit values win."""
+
+    def _models(self, timesteps=40, guidance=None):
+        from lm2a_tpu.inference.sample import LoadedModels
+
+        return LoadedModels(
+            cfg=CFG, denoiser=None, cond_proj=None, unet_params={},
+            proj_params={}, dataset_mean=0.0, dataset_std=1.0,
+            timesteps=timesteps, guidance_weight=guidance,
+        )
+
+    def test_ckpt_values_used_when_cli_omits(self):
+        from lm2a_tpu.inference.sample import _resolve_run_params
+
+        steps, g = _resolve_run_params(self._models(40, 2.5), None, None)
+        assert steps == 40 and g == 2.5
+
+    def test_explicit_cli_wins(self):
+        from lm2a_tpu.inference.sample import _resolve_run_params
+
+        steps, g = _resolve_run_params(self._models(40, 2.5), 12, 1.0)
+        assert steps == 12 and g == 1.0
+
+    def test_guidance_defaults_to_one(self):
+        from lm2a_tpu.inference.sample import _resolve_run_params
+
+        _, g = _resolve_run_params(self._models(40, None), None, None)
+        assert g == 1.0
+
+    def test_ddim_steps_explicit_and_capped(self, capsys):
+        from lm2a_tpu.inference.sample import _ddim_num_steps
+
+        assert _ddim_num_steps(1000, 200) == 200
+        assert _ddim_num_steps(1000, None) == 50  # logged cap
+        assert _ddim_num_steps(30, None) == 30
+
+    @pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+    def test_torch_ckpt_meta_drives_defaults(self, tmp_path):
+        """A reference-format checkpoint carrying timesteps/guidance_weight
+        sets the sampling defaults after load_models (reference
+        sample.py:118-120,140)."""
+        torch = pytest.importorskip("torch")
+        from lm2a_tpu.inference.sample import _resolve_run_params
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from models.embedding import CondProjection as TCP
+        from models.unet1d_ultimate import UNet1D_ultimate as TUNet
+
+        torch.manual_seed(0)
+        tm = TUNet(in_dim=80, base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                   time_emb_dim=16, num_res_blocks=1, mid_blocks=1, attn_heads=2)
+        tp = TCP(motion_dim=234, text_dim=768, out_dim=8)
+        ckpt = {
+            "unet": tm.state_dict(), "cond_proj": tp.state_dict(),
+            "timesteps": 16, "guidance_weight": 3.0,
+        }
+        pt = str(tmp_path / "ref_meta.pt")
+        torch.save(ckpt, pt)
+
+        models = load_models(pt, cfg=CFG)
+        assert models.timesteps == 16
+        assert models.guidance_weight == 3.0
+        steps, g = _resolve_run_params(models, None, None)
+        assert steps == 16 and g == 3.0

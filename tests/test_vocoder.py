@@ -172,3 +172,57 @@ class TestAMPBlock2:
         assert BIGVGAN_V2_24KHZ_100BAND.hop == 256
         assert BIGVGAN_V2_24KHZ_100BAND.num_mels == 100
         assert BIGVGAN_V2_44KHZ_128BAND.hop == 512
+        # NVIDIA v2 models ship use_bias_at_final=false, use_tanh_at_final=false
+        for c in (BIGVGAN_V2_24KHZ_100BAND, BIGVGAN_V2_44KHZ_128BAND):
+            assert not c.use_bias_at_final and not c.use_tanh_at_final
+
+
+class TestV2FinalLayer:
+    """v2 semantics: bias-less conv_post + clamp (not tanh) at the output."""
+
+    TINY_V2 = VocoderConfig(
+        upsample_rates=(4, 2),
+        upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (1, 2)),
+        use_bias_at_final=False,
+        use_tanh_at_final=False,
+    )
+
+    def test_conv_post_has_no_bias(self):
+        model = BigVGANGenerator(cfg=self.TINY_V2)
+        mel = jnp.zeros((1, 8, 80))
+        params = model.init(jax.random.key(0), mel)
+        assert "bias" not in params["params"]["conv_post"]
+
+    def test_convert_accepts_biasless_conv_post(self):
+        sd = TestConvert()._fake_torch_sd(self.TINY_V2)
+        del sd["conv_post.bias"]  # v2 checkpoints carry no final bias
+        params = convert_bigvgan(sd, self.TINY_V2)
+        model = BigVGANGenerator(cfg=self.TINY_V2)
+        mel = jnp.zeros((1, 8, 80))
+        ref_shapes = jax.tree.map(
+            lambda a: a.shape, model.init(jax.random.key(0), mel)
+        )
+        got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+        assert ref_shapes == got_shapes
+        wav = model.apply(params, mel)
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_output_is_clamped_not_tanh(self):
+        """Scale conv_post weights so pre-activation exceeds 1: a tanh would
+        squash smoothly (max < 1), a clamp saturates at exactly 1."""
+        model = BigVGANGenerator(cfg=self.TINY_V2)
+        mel = jax.random.normal(jax.random.key(0), (1, 16, 80))
+        params = model.init(jax.random.key(1), mel)
+        big = jax.tree.map(lambda a: a, params)
+        import flax
+
+        big = flax.core.unfreeze(big) if hasattr(flax.core, "unfreeze") else big
+        big["params"]["conv_post"]["kernel"] = (
+            big["params"]["conv_post"]["kernel"] * 1e4
+        )
+        wav = np.asarray(model.apply(big, mel))
+        assert wav.max() == pytest.approx(1.0)
+        assert wav.min() == pytest.approx(-1.0)
