@@ -67,6 +67,29 @@ def main():
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
     assert bool(jnp.isfinite(out).all()), "non-finite sample"
 
+    # Chip-relative accounting: XLA cost analysis of one CFG forward (the
+    # doubled-batch denoiser call that dominates each of the `steps` scan
+    # iterations; the pointwise update ops are negligible) -> MFU. Cost
+    # analysis counts a lax.scan body once, so the chain total is step*steps.
+    from lm2a_tpu.utils.profiling import compiled_flops, device_peak_flops
+
+    cfg_rows = 2 * B if guidance > 1.0 else B
+    fwd = jax.jit(denoiser.apply)
+    step_flops = compiled_flops(
+        fwd, params,
+        jnp.zeros((cfg_rows, T, cfg.in_dim), jnp.float32),
+        jnp.zeros((cfg_rows,), jnp.int32),
+        jnp.zeros((cfg_rows, T, cfg.cond_dim), jnp.float32),
+        jnp.zeros((cfg_rows, T, cfg.cond_dim), jnp.float32),
+    )
+    chain_flops = step_flops * steps if step_flops else None
+    peak = device_peak_flops(dev)
+    if chain_flops:
+        log(f"FLOPs: {step_flops:.4g}/step (CFG fwd, {cfg_rows} rows) "
+            f"-> {chain_flops:.4g}/chain")
+    if peak:
+        log(f"peak bf16 FLOP/s for {dev.device_kind}: {peak:.4g}")
+
     runs = 3
     times = []
     for i in range(runs):
@@ -77,6 +100,11 @@ def main():
     best = min(times)
     frames_per_sec = B * T / best
     log(f"chain seconds (best of {runs}): {best:.3f}  times={['%.3f' % t for t in times]}")
+
+    mfu = None
+    if chain_flops and peak:
+        mfu = chain_flops / best / peak
+        log(f"sustained {chain_flops / best / 1e12:.1f} TFLOP/s -> MFU {mfu:.1%}")
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -99,8 +127,17 @@ def main():
             out = sampler(params, jax.random.key(10), (bs, T, cfg.in_dim), mfb, tfb)
             out.block_until_ready()
             bt = time.perf_counter() - t0
+            bflops = compiled_flops(
+                fwd, params,
+                jnp.zeros((2 * bs, T, cfg.in_dim), jnp.float32),
+                jnp.zeros((2 * bs,), jnp.int32),
+                jnp.zeros((2 * bs, T, cfg.cond_dim), jnp.float32),
+                jnp.zeros((2 * bs, T, cfg.cond_dim), jnp.float32),
+            )
+            bflops = bflops * steps if bflops else None
+            bmfu = f", MFU {bflops / bt / peak:.1%}" if bflops and peak else ""
             log(f"extra: batched sampling B={bs}: {bt:.2f}s/chain -> "
-                f"{bs * T / bt:.0f} frames/sec/chip")
+                f"{bs * T / bt:.0f} frames/sec/chip{bmfu}")
         except Exception as e:
             log(f"extra: batched sampling failed: {e}")
         try:
@@ -145,6 +182,8 @@ def main():
         "value": round(frames_per_sec, 3),
         "unit": "mel frames/sec/chip (B=1, T=516, CFG 2.1, 1000-step DDPM)",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "flops_per_step": round(chain_flops / steps) if chain_flops else None,
+        "mfu": round(mfu, 4) if mfu else None,
     }))
 
 
