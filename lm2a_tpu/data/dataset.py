@@ -203,12 +203,79 @@ class BatchIterator:
                 }
 
 
-def device_prefetch(iterator, mesh=None, depth: int = 2):
+def superbatch_iterator(
+    dataset, batch_size: int, k: int, shuffle: bool = True, seed: int = 0
+) -> Iterator[tuple]:
+    """Epoch stream for the fused K-step dispatch mode.
+
+    Yields ``("multi", {key: (K, B, T, .)})`` for each full group of K
+    batches — gathered as ONE k*bs-row native submit/wait (the C++ worker
+    assembles group g+1 while group g trains) and reshaped for
+    ``make_multistep_train_step`` — then ``("single", {key: (B, T, .)})``
+    for the tail batches that don't fill a group. Replaces the synchronous
+    Python-thread K-stacking the fused mode previously paid per dispatch.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed)
+        rng.shuffle(order)
+    bs = batch_size
+    group = bs * k
+    n_groups = n // group
+    tail_start = n_groups * group
+    tail_starts = list(range(tail_start, n - bs + 1, bs))
+
+    def reshape_multi(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return {
+            key: flat[key].reshape((k, bs) + flat[key].shape[1:])
+            for key in ("mel", "motion", "lyrics")
+        }
+
+    packed = isinstance(dataset, PackedDataset)
+    native = dataset.native if packed else None
+
+    if native is not None and n_groups:
+        # pipeline: the C++ worker gathers group g+1 while g is consumed
+        native.submit(order[:group])
+        for g in range(n_groups):
+            flat = native.wait()
+            if g + 1 < n_groups:
+                native.submit(order[(g + 1) * group : (g + 2) * group])
+            yield "multi", reshape_multi(flat)
+    else:
+        for g in range(n_groups):
+            idx = order[g * group : (g + 1) * group]
+            if packed:
+                flat = dataset.gather(idx)
+            else:
+                items = [dataset[int(i)] for i in idx]
+                flat = {
+                    key: np.stack([it[key] for it in items])
+                    for key in ("mel", "motion", "lyrics")
+                }
+            yield "multi", reshape_multi(flat)
+
+    for start in tail_starts:
+        idx = order[start : start + bs]
+        if packed:
+            yield "single", dataset.gather(idx)
+        else:
+            items = [dataset[int(i)] for i in idx]
+            yield "single", {
+                key: np.stack([it[key] for it in items])
+                for key in ("mel", "motion", "lyrics")
+            }
+
+
+def device_prefetch(iterator, mesh=None, depth: int = 2, put_fn=None):
     """Overlap host->device transfer with compute.
 
     A small background thread stages the next batch onto device (sharded over
     the mesh's data axis when given) while the current one is being consumed —
     the role DataLoader workers + pin_memory play in the reference.
+    ``put_fn`` overrides the staging transform (used by the fused-dispatch
+    mode, whose items are tagged and shard on a different axis).
     """
     import jax
 
@@ -217,6 +284,8 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     def put(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -126,3 +126,71 @@ class TestSplit:
         assert [os.path.basename(p) for p in a.train] == [
             os.path.basename(p) for p in b.train
         ]
+
+
+class TestSuperbatchIterator:
+    """Fused-dispatch input pipeline: K-groups + tail, native and numpy."""
+
+    @pytest.fixture
+    def pack_dir(self, tmp_path):
+        d = tmp_path / "npz14"
+        d.mkdir()
+        for i in range(14):  # bs=2, k=3 -> 2 full groups (12 rows) + 1 tail
+            make_shard(str(d / f"sample_{i:08d}.npz"), seed=100 + i)
+        out = str(tmp_path / "pack14")
+        pack_dataset(str(d), out)
+        return out
+
+    def _collect(self, ds, bs, k, seed=5):
+        from lm2a_tpu.data.dataset import superbatch_iterator
+
+        return list(superbatch_iterator(ds, bs, k, shuffle=True, seed=seed))
+
+    def test_group_and_tail_structure(self, pack_dir):
+        ds = PackedDataset(pack_dir, use_native=False)
+        items = self._collect(ds, bs=2, k=3)
+        tags = [t for t, _ in items]
+        assert tags == ["multi", "multi", "single"]
+        multi = items[0][1]
+        assert multi["mel"].shape == (3, 2) + ds.mel.shape[1:]
+        assert multi["motion"].shape == (3, 2) + ds.motion.shape[1:]
+        single = items[2][1]
+        assert single["mel"].shape == (2,) + ds.mel.shape[1:]
+
+    def test_contents_match_order_permutation(self, pack_dir):
+        ds = PackedDataset(pack_dir, use_native=False)
+        items = self._collect(ds, bs=2, k=3, seed=5)
+        order = np.arange(len(ds))
+        np.random.default_rng(5).shuffle(order)
+        flat_mels = np.concatenate(
+            [b["mel"].reshape(-1, *ds.mel.shape[1:]) if t == "multi" else b["mel"]
+             for t, b in items]
+        )
+        np.testing.assert_array_equal(flat_mels, np.asarray(ds.mel[order]))
+
+    def test_native_matches_numpy_path(self, pack_dir):
+        from lm2a_tpu.data.native_loader import native_available
+
+        if not native_available():
+            pytest.skip("native loader not built")
+        ds_np = PackedDataset(pack_dir, use_native=False)
+        ds_nat = PackedDataset(pack_dir, use_native=True)
+        if ds_nat.native is None:
+            pytest.skip("native loader unavailable")
+        a = self._collect(ds_np, bs=2, k=3, seed=7)
+        b = self._collect(ds_nat, bs=2, k=3, seed=7)
+        assert [t for t, _ in a] == [t for t, _ in b]
+        for (_, x), (_, y) in zip(a, b):
+            for key in ("mel", "motion", "lyrics"):
+                np.testing.assert_array_equal(x[key], y[key])
+
+    def test_melnpz_dataset_path(self, tmp_path):
+        d = tmp_path / "raw"
+        d.mkdir()
+        for i in range(7):
+            make_shard(str(d / f"sample_{i:08d}.npz"), seed=i)
+        ds = MelNpzDataset(str(d))
+        items = self._collect(ds, bs=2, k=2)
+        tags = [t for t, _ in items]
+        assert tags == ["multi", "single"]  # 4 rows grouped, 2 tail, 1 dropped
+        assert items[0][1]["mel"].shape[:2] == (2, 2)
