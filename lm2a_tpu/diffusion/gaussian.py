@@ -98,6 +98,7 @@ def guided_eps(
     motion_f: Optional[jnp.ndarray],
     text_f: Optional[jnp.ndarray],
     guidance_weight: float,
+    uncond_fast: bool = False,
 ) -> jnp.ndarray:
     """Epsilon prediction with classifier-free guidance.
 
@@ -106,6 +107,11 @@ def guided_eps(
     stabilization of ``/root/reference/sample.py:151-174``. ``guidance_weight``
     is static (trace-time) so the no-guidance path compiles with no dead
     doubled batch.
+
+    ``uncond_fast=True`` additionally tells the model (via ``uncond_rows``)
+    that the first half of the doubled batch has identically-zero conditions,
+    letting it constant-fold those rows' cross-attention (exact math, see
+    ResBlockUltimate). Requires a model_fn that forwards keyword args.
     """
     if guidance_weight <= 1.0 or motion_f is None or text_f is None:
         return model_fn(x, t, motion_f, text_f)
@@ -113,7 +119,10 @@ def guided_eps(
     t2 = jnp.concatenate([t, t], axis=0)
     m2 = jnp.concatenate([jnp.zeros_like(motion_f), motion_f], axis=0)
     l2 = jnp.concatenate([jnp.zeros_like(text_f), text_f], axis=0)
-    eps2 = model_fn(x2, t2, m2, l2)
+    if uncond_fast:
+        eps2 = model_fn(x2, t2, m2, l2, uncond_rows=x.shape[0])
+    else:
+        eps2 = model_fn(x2, t2, m2, l2)
     eps_u, eps_c = jnp.split(eps2, 2, axis=0)
     eps_diff = jnp.clip(eps_c - eps_u, -5.0, 5.0)
     return jnp.clip(eps_u + guidance_weight * eps_diff, -10.0, 10.0)
@@ -130,6 +139,7 @@ def ddpm_sample(
     x_init: Optional[jnp.ndarray] = None,
     noise_seq: Optional[jnp.ndarray] = None,
     collect_stats: bool = False,
+    uncond_fast: bool = False,
 ) -> jnp.ndarray:
     """Full reverse DDPM as a single lax.scan over t = T-1 .. 0.
 
@@ -160,7 +170,8 @@ def ddpm_sample(
         else:
             t, noise = inp
         tb = jnp.full((b,), t, dtype=jnp.int32)
-        eps = guided_eps(model_fn, x, tb, motion_f, text_f, guidance_weight)
+        eps = guided_eps(model_fn, x, tb, motion_f, text_f, guidance_weight,
+                         uncond_fast=uncond_fast)
         x = p_sample_step(schedule, x, tb, eps.astype(x.dtype), noise)
         stats = None
         if collect_stats:
@@ -189,6 +200,7 @@ def ddim_sample(
     guidance_weight: float = 1.0,
     x_init: Optional[jnp.ndarray] = None,
     x0_clip: float = 2.0,
+    uncond_fast: bool = False,
 ) -> jnp.ndarray:
     """DDIM sampler over an evenly spaced sub-sequence of the schedule.
 
@@ -210,7 +222,8 @@ def ddim_sample(
         x, k = carry
         t, t_prev = inp
         tb = jnp.full((b,), t, dtype=jnp.int32)
-        eps = guided_eps(model_fn, x, tb, motion_f, text_f, guidance_weight)
+        eps = guided_eps(model_fn, x, tb, motion_f, text_f, guidance_weight,
+                         uncond_fast=uncond_fast)
         eps = eps.astype(x.dtype)
 
         ab_t = schedule.alpha_bars[t]
@@ -248,8 +261,8 @@ def make_sampler(
 
     @partial(jax.jit, static_argnums=(2,))
     def sampler(params, key, shape, motion_f=None, text_f=None):
-        def model_fn(x, t, m, l):
-            return apply_fn(params, x, t, m, l)
+        def model_fn(x, t, m, l, **kw):
+            return apply_fn(params, x, t, m, l, **kw)
 
         return sample_impl(
             model_fn, schedule, key, shape, motion_f, text_f,

@@ -251,3 +251,67 @@ class TestRemat:
             ),
             ga, gb,
         )
+
+
+class TestUncondConstantFold:
+    """CFG fast path: uncond_rows constant-folds cross-attention exactly."""
+
+    def _setup(self, arch):
+        from lm2a_tpu.core.config import ModelConfig
+        from lm2a_tpu.models.factory import build_denoiser
+
+        cfg = ModelConfig(
+            arch=arch, base_dim=16, dim_mults=(1, 2), cond_dim=8,
+            time_emb_dim=16, num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        )
+        den = build_denoiser(cfg, "float32")
+        key = jax.random.key(0)
+        b, t = 2, 24
+        x = jax.random.normal(key, (2 * b, t, 80), jnp.float32)
+        tt = jnp.full((2 * b,), 5, jnp.int32)
+        m = jax.random.normal(jax.random.key(1), (b, t, cfg.cond_dim))
+        l = jax.random.normal(jax.random.key(2), (b, t, cfg.cond_dim))
+        # doubled CFG batch: first half zero-conditioned
+        m2 = jnp.concatenate([jnp.zeros_like(m), m], axis=0)
+        l2 = jnp.concatenate([jnp.zeros_like(l), l], axis=0)
+        params = den.init(key, x, tt, m2, l2)
+        return den, params, x, tt, m2, l2, b
+
+    @pytest.mark.parametrize("arch", ["ultimate", "v1"])
+    def test_matches_plain_forward(self, arch):
+        den, params, x, tt, m2, l2, b = self._setup(arch)
+        plain = den.apply(params, x, tt, m2, l2)
+        fast = den.apply(params, x, tt, m2, l2, uncond_rows=b)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(plain), rtol=1e-4, atol=1e-5
+        )
+
+    def test_param_structure_unchanged(self):
+        """uncond_rows is trace-time only: same params serve both paths."""
+        den, params, x, tt, m2, l2, b = self._setup("ultimate")
+        import jax as _jax
+
+        shapes_plain = _jax.tree.map(lambda a: a.shape, params)
+        params2 = den.init(
+            jax.random.key(0), x, tt, m2, l2, uncond_rows=b
+        )
+        shapes_fast = _jax.tree.map(lambda a: a.shape, params2)
+        assert shapes_plain == shapes_fast
+
+    def test_guided_eps_uncond_fast_matches(self):
+        from lm2a_tpu.core.config import DiffusionConfig
+        from lm2a_tpu.diffusion import make_schedule
+        from lm2a_tpu.diffusion.gaussian import guided_eps
+
+        den, params, x, tt, m2, l2, b = self._setup("ultimate")
+        m, l = m2[b:], l2[b:]
+        xb, tb = x[:b], tt[:b]
+
+        def model_fn(xx, t_, mm, ll, **kw):
+            return den.apply(params, xx, t_, mm, ll, **kw)
+
+        slow = guided_eps(model_fn, xb, tb, m, l, 2.1, uncond_fast=False)
+        fast = guided_eps(model_fn, xb, tb, m, l, 2.1, uncond_fast=True)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5
+        )
