@@ -58,7 +58,11 @@ def main():
     log(f"init: {time.perf_counter() - t0:.1f}s, "
         f"params: {sum(p.size for p in jax.tree.leaves(params)):,}")
 
-    sampler = make_sampler(denoiser.apply, schedule, guidance_weight=guidance)
+    # uncond_fast constant-folds the CFG uncond rows' cross-attention —
+    # exact math (tested to 1e-5 vs the plain forward); measured 1.20x on
+    # the 1000-step chain (1.029 s -> 0.858 s, v5e).
+    sampler = make_sampler(denoiser.apply, schedule, guidance_weight=guidance,
+                           uncond_fast=True)
 
     shape = (B, T, cfg.in_dim)
     t0 = time.perf_counter()
@@ -73,8 +77,11 @@ def main():
     # analysis counts a lax.scan body once, so the chain total is step*steps.
     from lm2a_tpu.utils.profiling import compiled_flops, device_peak_flops
 
+    # FLOPs from the forward the sampler ACTUALLY runs (uncond_rows folds the
+    # uncond half's cross-attention), so MFU reflects executed work.
     cfg_rows = 2 * B if guidance > 1.0 else B
-    fwd = jax.jit(denoiser.apply)
+    fwd = jax.jit(lambda p, x, t, m, l: denoiser.apply(
+        p, x, t, m, l, uncond_rows=B if guidance > 1.0 else 0))
     step_flops = compiled_flops(
         fwd, params,
         jnp.zeros((cfg_rows, T, cfg.in_dim), jnp.float32),
@@ -127,8 +134,10 @@ def main():
             out = sampler(params, jax.random.key(10), (bs, T, cfg.in_dim), mfb, tfb)
             out.block_until_ready()
             bt = time.perf_counter() - t0
+            bfwd = jax.jit(lambda p, x, t, m, l: denoiser.apply(
+                p, x, t, m, l, uncond_rows=bs))
             bflops = compiled_flops(
-                fwd, params,
+                bfwd, params,
                 jnp.zeros((2 * bs, T, cfg.in_dim), jnp.float32),
                 jnp.zeros((2 * bs,), jnp.int32),
                 jnp.zeros((2 * bs, T, cfg.cond_dim), jnp.float32),
