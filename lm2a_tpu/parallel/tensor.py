@@ -25,25 +25,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lm2a_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
 
+# Modules whose INPUT features arrive already sharded from a column-parallel
+# producer: conv1 -> (FiLM/GN, both feature-local) -> conv2, and
+# q/k/v_proj (head-sharded output) -> attention core -> out_proj. Sharding
+# these kernels on the input axis (row-parallel) lets GSPMD keep the
+# intermediate activations sharded and emit ONE reduction per pair instead
+# of an all-gather at every layer boundary (audited: 444 -> see
+# docs/SCALING.md). Their biases stay replicated (added after the reduce).
+ROW_PARALLEL_MODULES = frozenset({"conv2", "out_proj"})
+
+
 def _leaf_spec(path, leaf, tp: int) -> P:
     """Partition rule for one parameter leaf.
 
-    kernels: shard the OUTPUT-features (last) axis when divisible;
-    1-D params (bias / scale / snake alphas): shard when divisible.
-    Everything else replicated.
+    Column-parallel by default (kernels sharded on the OUTPUT-features axis
+    when divisible; 1-D bias/scale sharded when divisible), with the
+    row-parallel alternation above for consumers of sharded features.
     """
     name = None
+    module = None
+    names = []
     for entry in reversed(path):
         key = getattr(entry, "key", None) or getattr(entry, "name", None)
         if key is not None:
-            name = str(key)
-            break
+            names.append(str(key))
+    if names:
+        name = names[0]
+        module = names[1] if len(names) > 1 else None
     shape = np.shape(leaf)
     if not shape:
         return P()
-    if name == "kernel" and len(shape) >= 2 and shape[-1] % tp == 0:
-        return P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
-    if len(shape) == 1 and shape[0] % tp == 0 and name in ("bias", "scale"):
+    row = module in ROW_PARALLEL_MODULES
+    if name == "kernel" and len(shape) >= 2:
+        if row and shape[-2] % tp == 0:
+            return P(*([None] * (len(shape) - 2) + [MODEL_AXIS, None]))
+        if not row and shape[-1] % tp == 0:
+            return P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
+        return P()
+    if len(shape) == 1 and shape[0] % tp == 0 and name in ("bias", "scale") \
+            and not row:
         return P(MODEL_AXIS)
     return P()
 
