@@ -85,7 +85,106 @@ def _heads_per_block(h: int, tp: int, sp: int) -> int:
     return 1
 
 
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  s_valid: int, head_dim: int, block_s: int, n_s: int):
+    """Streaming flash attention: online softmax over S tiles.
+
+    Grid is (B, head_blocks, T_tiles, S_tiles) with S innermost (sequential
+    on TPU), so the (m, l, acc) scratch carries across the S sweep of one
+    (batch, heads, T-tile) cell: tile scores never leave VMEM and the
+    (T, S) probability matrix is never materialized in HBM — the whole point
+    at long S, where the single-block kernel and XLA's fused form both
+    overflow VMEM / fusion budgets.
+    """
+    si = pl.program_id(3)
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)  # (hpb, bt, hd)
+    k = k_ref[0].astype(jnp.float32)  # (hpb, bs, hd)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (hpb, bt, bs)
+    key_ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+    scores = jnp.where(key_ids < s_valid, scores, -1e30)
+
+    m_old = m_ref[:, :, :1]  # (hpb, bt, 1)
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    p = jnp.exp(scores - m_new)
+    corr = jnp.exp(m_old - m_new)  # (hpb, bt, 1)
+    l_ref[:, :, :1] = corr * l_ref[:, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:, :, :1] = m_new
+    acc_ref[:] = corr * acc_ref[:] + jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(si == n_s - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :, :1]).astype(o_ref.dtype)
+
+
+def _attention_pallas_streaming(q, k, v, interpret: bool,
+                                block_t: int = 256, block_s: int = 512):
+    b, h, t, hd = q.shape
+    s = k.shape[2]
+    bt = min(block_t, _round_up(t, 8))
+    bs = min(block_s, _round_up(s, 8))
+    tp, sp = _round_up(t, bt), _round_up(s, bs)
+    # heads per block: scores tile (hpb, bt, bs) fp32 is the big buffer
+    hpb = h
+    while hpb > 1 and (h % hpb or 4 * hpb * bt * bs * 4 > 8 * 1024 * 1024):
+        hpb -= 1
+    while h % hpb:
+        hpb -= 1
+    n_t, n_s = tp // bt, sp // bs
+
+    def pad_t(x, tgt_t):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, tgt_t - x.shape[2]), (0, 0)))
+
+    qf, kf, vf = pad_t(q, tp), pad_t(k, sp), pad_t(v, sp)
+    kernel = functools.partial(_flash_kernel, s_valid=s, head_dim=hd,
+                               block_s=bs, n_s=n_s)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hpb, n_t, n_s),
+        in_specs=[
+            pl.BlockSpec((1, hpb, bt, hd), lambda i, j, ti, si: (i, j, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hpb, bs, hd), lambda i, j, ti, si: (i, j, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hpb, bs, hd), lambda i, j, ti, si: (i, j, si, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hpb, bt, hd), lambda i, j, ti, si: (i, j, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hpb, bt, 1), jnp.float32),   # m (running max)
+            pltpu.VMEM((hpb, bt, 1), jnp.float32),   # l (running denom)
+            pltpu.VMEM((hpb, bt, hd), jnp.float32),  # acc (unnormalized out)
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :, :t, :]
+
+
+# Above this many key/value rows, stream S tiles with online softmax instead
+# of holding the whole (T, S) score block in VMEM.
+STREAMING_S_THRESHOLD = 1024
+
+
 def _attention_pallas(q, k, v, interpret: bool):
+    if k.shape[2] > STREAMING_S_THRESHOLD:
+        return _attention_pallas_streaming(q, k, v, interpret)
+    return _attention_pallas_single_block(q, k, v, interpret)
+
+
+def _attention_pallas_single_block(q, k, v, interpret: bool):
     b, h, t, hd = q.shape
     s = k.shape[2]
     tp, sp = _round_up(t, 8), _round_up(s, 8)

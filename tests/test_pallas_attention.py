@@ -87,3 +87,62 @@ class TestModelIntegration:
         a = np.asarray(model.apply(params, x, t, motion, text))
         b = np.asarray(model_fused.apply(params, x, t, motion, text))
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+class TestStreamingFlash:
+    """Online-softmax streaming kernel (S > STREAMING_S_THRESHOLD)."""
+
+    def test_matches_reference_long_s(self):
+        from lm2a_tpu.ops.pallas_attention import (
+            _attention_pallas_streaming,
+            attention_core_reference,
+        )
+
+        key = jax.random.key(0)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, s, hd = 1, 2, 300, 1400, 16  # ragged: exercises padding+mask
+        q = jax.random.normal(kq, (b, h, t, hd), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, hd), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, hd), jnp.float32)
+        ref = attention_core_reference(q, k, v)
+        out = _attention_pallas_streaming(q, k, v, interpret=True,
+                                          block_t=128, block_s=512)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_dispatch_threshold(self):
+        """attention_core routes long-S shapes through the streaming path."""
+        from lm2a_tpu.ops import pallas_attention as pa
+
+        key = jax.random.key(1)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, s, hd = 1, 2, 64, pa.STREAMING_S_THRESHOLD + 256, 8
+        q = jax.random.normal(kq, (b, h, t, hd), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, hd), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, hd), jnp.float32)
+        out = pa.attention_core(q, k, v)
+        ref = pa.attention_core_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches_reference(self):
+        from lm2a_tpu.ops import pallas_attention as pa
+
+        key = jax.random.key(2)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, h, t, s, hd = 1, 1, 40, pa.STREAMING_S_THRESHOLD + 16, 8
+        q = jax.random.normal(kq, (b, h, t, hd), jnp.float32)
+        k = jax.random.normal(kk, (b, h, s, hd), jnp.float32)
+        v = jax.random.normal(kv, (b, h, s, hd), jnp.float32)
+
+        def f_fused(q, k, v):
+            return jnp.sum(pa.attention_core(q, k, v) ** 2)
+
+        def f_ref(q, k, v):
+            return jnp.sum(pa.attention_core_reference(q, k, v) ** 2)
+
+        g1 = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
