@@ -226,3 +226,100 @@ class TestV2FinalLayer:
         wav = np.asarray(model.apply(big, mel))
         assert wav.max() == pytest.approx(1.0)
         assert wav.min() == pytest.approx(-1.0)
+
+
+class TestScipyPolyphaseOracle:
+    """Independently-derived oracle (VERDICT r1 #7): the resamplers must
+    agree with scipy.signal.upfirdn polyphase filtering away from edges.
+
+    The round-1 torch oracle shared its author with the implementation;
+    upfirdn implements the same published polyphase math from an independent
+    codebase, so a padding/ordering misunderstanding in both our module and
+    our oracle would be caught here. Alignment is located by exact match
+    search AND pinned to one offset (an off-by-one would shift it)."""
+
+    @staticmethod
+    def _best_alignment(ours, ref, max_shift=48):
+        """(offset, max_abs_err) minimizing error of ours vs ref[off:off+n]."""
+        n = len(ours)
+        best = (None, np.inf)
+        for off in range(0, max(1, len(ref) - n), 1):
+            if off > max_shift and best[0] is not None:
+                break
+            err = float(np.max(np.abs(ours - ref[off:off + n])))
+            if err < best[1]:
+                best = (off, err)
+        return best
+
+    def test_upsample2x_matches_upfirdn(self):
+        from scipy.signal import upfirdn
+
+        from lm2a_tpu.vocoder.filters import kaiser_sinc_filter1d
+
+        rng = np.random.default_rng(3)
+        T, K = 256, 12
+        x = rng.standard_normal(T).astype(np.float32)
+        ours = np.asarray(upsample2x(jnp.asarray(x[None, :, None])))[0, :, 0]
+        filt = kaiser_sinc_filter1d(0.25, 0.3, K).astype(np.float64)
+        ref = upfirdn(2.0 * filt, x.astype(np.float64), up=2)
+        trim = 2 * K  # edge-padding differs (ours replicates, upfirdn zeros)
+        off, err = self._best_alignment(ours[trim:-trim], ref, max_shift=48)
+        # zero-stuffed x starts at ref index 0 with filter delay (K-1);
+        # our slice starts pad_left - (K-1) samples into the full conv of
+        # the unpadded signal -> expected offset trim + ratio*pad - delay
+        # collapses to trim + 10 - 5 = trim + 5 for K=12.
+        assert off == trim + 5, f"alignment off={off}, expected {trim + 5}"
+        assert err < 1e-5, f"max interior error {err}"
+
+    def test_downsample2x_matches_upfirdn(self):
+        from scipy.signal import upfirdn
+
+        from lm2a_tpu.vocoder.filters import kaiser_sinc_filter1d
+
+        rng = np.random.default_rng(4)
+        T, K = 512, 12
+        x = rng.standard_normal(T).astype(np.float32)
+        ours = np.asarray(downsample2x(jnp.asarray(x[None, :, None])))[0, :, 0]
+        filt = kaiser_sinc_filter1d(0.25, 0.3, K).astype(np.float64)
+        ref = upfirdn(filt, x.astype(np.float64), down=2)
+        trim = K
+        off, err = self._best_alignment(ours[trim:-trim], ref, max_shift=24)
+        # our m-th output taps x[2m-5 : 2m+7]; upfirdn's taps
+        # x[2m-11 : 2m+1] -> ref index m+3, so offset = trim + 3 for K=12.
+        assert off == trim + 3, f"alignment off={off}, expected {trim + 3}"
+        assert err < 1e-5, f"max interior error {err}"
+
+    def test_snake_sandwich_matches_scipy_pipeline(self):
+        """Full SnakeAlias (up2x -> snake -> down2x) vs an all-scipy/numpy
+        reimplementation of the published alias-free activation."""
+        from scipy.signal import upfirdn
+
+        from lm2a_tpu.vocoder.bigvgan import SnakeAlias
+        from lm2a_tpu.vocoder.filters import kaiser_sinc_filter1d
+
+        rng = np.random.default_rng(5)
+        T, K, C = 384, 12, 2
+        x = rng.standard_normal((1, T, C)).astype(np.float32) * 0.5
+        mod = SnakeAlias(channels=C, beta=True, logscale=True)
+        params = mod.init(jax.random.key(0), jnp.asarray(x))
+        # set distinct alphas/betas so the test sees per-channel modulation
+        params = jax.tree.map(np.asarray, params)
+        params["params"]["alpha"] = np.array([0.1, -0.2], np.float32)
+        params["params"]["beta"] = np.array([-0.3, 0.4], np.float32)
+        ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+
+        filt = kaiser_sinc_filter1d(0.25, 0.3, K).astype(np.float64)
+        trim = 2 * K
+        for c in range(C):
+            up = upfirdn(2.0 * filt, x[0, :, c].astype(np.float64), up=2)
+            a = np.exp(params["params"]["alpha"][c])
+            b = np.exp(params["params"]["beta"][c])
+            act = up + np.sin(a * up) ** 2 / (b + 1e-9)
+            # Our up stage leads upfirdn by 5 samples (see upsample test), so
+            # our decimator taps act_ref[2m : 2m+12]: the ODD phase of the
+            # full convolution, full[2m + (K-1)] -> full[11::2][m] exactly.
+            full = np.convolve(act, filt)
+            expect = full[K - 1 :: 2]
+            seg = ours[0, trim:-trim, c]
+            err = float(np.max(np.abs(seg - expect[trim:trim + len(seg)])))
+            assert err < 1e-4, f"channel {c}: max interior error {err}"
