@@ -32,6 +32,31 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point.
+
+    Compiles through the remote relay cost minutes (DEVNOTES); without this
+    each `lm2a_tpu.cli train/sample` invocation re-paid them. Override the
+    location with LM2A_CACHE_DIR; disable with LM2A_CACHE_DIR=''.
+    """
+    import os
+
+    cache = os.environ.get(
+        "LM2A_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "lm2a_tpu", "jax_cache"),
+    )
+    if not cache:
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # never block the CLI on cache setup
+        print(f"[cli] compile cache disabled: {e}", file=sys.stderr)
+
+
 def main():
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
         print(__doc__)
@@ -43,6 +68,7 @@ def main():
         raise SystemExit(f"unknown command {cmd!r}; choose from {list(COMMANDS)}")
     import importlib
 
+    _enable_compile_cache()
     mod = importlib.import_module(COMMANDS[cmd])
     mod.main(sys.argv[2:])
 

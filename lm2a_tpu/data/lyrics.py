@@ -85,11 +85,23 @@ def get_lyrics_embedder(
     if backend == "roberta":
         return RobertaLyricsEmbedder(model_path or "roberta-base")
     if backend == "auto":
+        import os
+
+        # Fail fast when the hub is unreachable: without this, transformers
+        # retries huggingface.co with exponential backoff (~minutes of dead
+        # time per preprocess run in an offline image) before the fallback
+        # engages. An explicit --lyrics_backend roberta still goes online.
+        prev = os.environ.get("HF_HUB_OFFLINE")
+        if model_path is None and prev is None:
+            os.environ["HF_HUB_OFFLINE"] = "1"
         try:
             return RobertaLyricsEmbedder(model_path or "roberta-base")
         except Exception:
             print("lyrics: roberta-base unavailable, using hashed fallback embedder")
             return HashedLyricsEmbedder()
+        finally:
+            if model_path is None and prev is None:
+                os.environ.pop("HF_HUB_OFFLINE", None)
     raise ValueError(f"unknown lyrics backend {backend!r}")
 
 
