@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Generate a reference-scale synthetic raw corpus (1868 clips by default).
+
+Produces the raw tree the preprocess CLI walks
+(``/root/reference/preprocess.py:207-240`` layout):
+
+    <out>/<year>/<song>/{audio.wav, sliced.json, smplfull.json}
+
+The corpus is *structured*, not noise: each song carries a slow random-walk
+"melody line"; the audio is a harmonic tone tracking that line (so the
+log-mel has a moving formant) and the SMPL pose track encodes the same line
+in its first pose dimensions (so a conditional model can learn
+motion -> mel). Lyric slices are short deterministic word strings (the
+hashed embedder makes them distinct conditioning vectors).
+
+Sized to the reference recipe (SURVEY §7 / VERDICT #4): 1868 clips ->
+split 0.7/0.2/0.1 -> 1308/374/186 (the reference's own 1246/356/178 came
+from 1780 files). Run: ``python scripts/make_synth_corpus.py <out_dir>
+[n_clips]``.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lm2a_tpu.utils.audio import write_wav  # noqa: E402
+
+SR = 22050
+FPS = 30
+CLIP_S = 6.0
+SLICES_PER_SONG = 20
+
+WORDS = ("echo", "river", "neon", "ember", "static", "velvet", "orbit",
+         "cinder", "mirror", "pulse", "hollow", "drift", "signal", "bloom")
+
+
+def make_song(rng: np.random.Generator, n_slices: int):
+    """One song: audio (float32), melody line per motion frame, slice starts."""
+    dur = n_slices * CLIP_S
+    n_samp = int(dur * SR) + SR  # 1 s tail so the last slice is full-length
+    n_frames = int(dur * FPS) + FPS
+
+    # melody line: slow random walk in [0, 1], smoothed
+    steps = rng.normal(0.0, 0.15, size=n_frames).astype(np.float32)
+    walk = np.cumsum(steps)
+    k = np.hanning(31).astype(np.float32)
+    walk = np.convolve(walk, k / k.sum(), mode="same")
+    line = (np.tanh(walk) + 1.0) * 0.5  # (n_frames,) in [0, 1]
+
+    # audio: harmonic tone whose fundamental tracks the line (200..2000 Hz)
+    t = np.arange(n_samp, dtype=np.float32) / SR
+    frame_idx = np.minimum((t * FPS).astype(np.int64), n_frames - 1)
+    f0 = 200.0 * (10.0 ** line[frame_idx])  # 200..2000 Hz, log spaced
+    phase = 2.0 * np.pi * np.cumsum(f0) / SR
+    audio = (0.5 * np.sin(phase)
+             + 0.2 * np.sin(2.0 * phase)
+             + 0.1 * np.sin(3.0 * phase))
+    # rhythmic amplitude envelope (2 Hz beat) + low noise floor
+    env = 0.55 + 0.45 * np.square(np.sin(2.0 * np.pi * 2.0 * t))
+    audio = audio * env + 0.01 * rng.normal(size=n_samp).astype(np.float32)
+    audio = (audio / np.max(np.abs(audio)) * 0.9).astype(np.float32)
+
+    starts = [i * CLIP_S for i in range(n_slices)]
+    return audio, line, starts
+
+
+def pose_track(rng: np.random.Generator, line: np.ndarray) -> np.ndarray:
+    """(n_frames, 78) raw SMPL-style track encoding the melody line.
+
+    First 3 pose dims carry atanh(2*line-1) so mean+tanh recovers the line;
+    the rest is small smooth noise (realistic non-degenerate z-scores).
+    """
+    n = line.shape[0]
+    core = np.arctanh(np.clip(2.0 * line - 1.0, -0.999, 0.999))[:, None]
+    rest = rng.normal(0.0, 0.3, size=(n, 75)).astype(np.float32)
+    k = np.hanning(9).astype(np.float32)
+    rest = np.apply_along_axis(
+        lambda c: np.convolve(c, k / k.sum(), mode="same"), 0, rest)
+    return np.concatenate([np.repeat(core, 3, axis=1), rest],
+                          axis=1).astype(np.float32)
+
+
+def main(out_dir: str, n_clips: int = 1868) -> None:
+    rng = np.random.default_rng(1868)
+    os.makedirs(out_dir, exist_ok=True)
+    made = 0
+    song_i = 0
+    while made < n_clips:
+        n_slices = min(SLICES_PER_SONG, n_clips - made)
+        year = os.path.join(out_dir, f"20{20 + song_i // 50:02d}")
+        song = os.path.join(year, f"song_{song_i:04d}")
+        os.makedirs(song, exist_ok=True)
+
+        audio, line, starts = make_song(rng, n_slices)
+        write_wav(os.path.join(song, "audio.wav"), audio, SR)
+
+        sliced = {}
+        for s in starts:
+            m, sec = int(s // 60), s % 60
+            text = " ".join(rng.choice(WORDS, size=4))
+            sliced[f"{m}:{sec:04.1f}" if sec % 1 else f"{m}:{int(sec):02d}"] = text
+        with open(os.path.join(song, "sliced.json"), "w") as f:
+            json.dump(sliced, f)
+
+        poses = pose_track(rng, line)
+        smpl = {
+            str(i).zfill(6): {"annots": [{
+                "poses": [[round(float(v), 4) for v in poses[i, :72]]],
+                "Th": [[round(float(v), 4) for v in poses[i, 72:75]]],
+                "Rh": [[round(float(v), 4) for v in poses[i, 75:78]]],
+            }]}
+            for i in range(poses.shape[0])
+        }
+        with open(os.path.join(song, "smplfull.json"), "w") as f:
+            json.dump(smpl, f)
+
+        made += n_slices
+        song_i += 1
+        if song_i % 10 == 0:
+            print(f"{song_i} songs, {made}/{n_clips} clips", flush=True)
+    print(f"done: {song_i} songs, {made} clips under {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_corpus"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1868
+    main(out, n)
