@@ -1,4 +1,10 @@
-from lm2a_tpu.inference.longform import crossfade_stitch, generate_long, window_conditions
+from lm2a_tpu.inference.longform import (
+    crossfade_stitch,
+    generate_long,
+    generate_single_pass,
+    window_conditions,
+    with_streaming_attention,
+)
 from lm2a_tpu.inference.sample import (
     FALLBACK_MEL_MEAN,
     FALLBACK_MEL_STD,
@@ -13,6 +19,8 @@ from lm2a_tpu.inference.sample import (
 __all__ = [
     "crossfade_stitch",
     "generate_long",
+    "generate_single_pass",
+    "with_streaming_attention",
     "window_conditions",
     "FALLBACK_MEL_MEAN",
     "FALLBACK_MEL_STD",

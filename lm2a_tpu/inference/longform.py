@@ -123,3 +123,65 @@ def generate_long(
     if stitched.shape[1] > total_t:
         stitched = stitched[:, :total_t]
     return linear_resample(stitched, total_t, time_axis=1) if stitched.shape[1] != total_t else stitched
+
+
+def with_streaming_attention(models: LoadedModels, mel_t: int) -> LoadedModels:
+    """Return ``models`` with the streaming flash-attention denoiser when the
+    sequence is long enough for it to engage.
+
+    Cross-attention here has S == T, so above the kernel's streaming
+    threshold the XLA path materializes (B, h, T, T) probabilities per site
+    while the Pallas kernel (``ops/pallas_attention``) keeps them in VMEM.
+    Parameters are unchanged (the flag only reroutes the attention core), so
+    the returned copy shares the loaded checkpoint; its sampler cache is
+    fresh (different compiled programs).
+    """
+    from dataclasses import replace as dc_replace
+
+    from lm2a_tpu.models.factory import build_denoiser
+    from lm2a_tpu.ops.pallas_attention import STREAMING_S_THRESHOLD
+
+    if mel_t <= STREAMING_S_THRESHOLD:
+        return models
+    cfg = dc_replace(models.cfg, model=dc_replace(models.cfg.model,
+                                                  fused_attention=True))
+    denoiser = build_denoiser(cfg.model, "bfloat16")
+    return LoadedModels(
+        cfg=cfg, denoiser=denoiser, cond_proj=models.cond_proj,
+        unet_params=models.unet_params, proj_params=models.proj_params,
+        dataset_mean=models.dataset_mean, dataset_std=models.dataset_std,
+        timesteps=models.timesteps, guidance_weight=models.guidance_weight,
+    )
+
+
+def generate_single_pass(
+    models: LoadedModels,
+    motion: np.ndarray,  # (T_motion, 234) full-song normalized motion feats
+    lyrics: np.ndarray,  # (T_l, 768) full-song lyric embedding track
+    total_seconds: float,
+    sr: int = 22050,
+    hop_size: int = 256,
+    steps: Optional[int] = None,
+    guidance_weight: float = 1.0,
+    method: str = "ddpm",
+    seed: int = 0,
+) -> np.ndarray:
+    """Whole-song mel in ONE attention window (no stitching seams).
+
+    The alternative to ``generate_long``'s windowed protocol: one scan chain
+    over the full sequence, with the streaming flash-attention kernel
+    engaged automatically above the VMEM threshold. Memory scales linearly
+    in T (the kernel never materializes (T, S) scores); compute scales
+    quadratically, so this is for coherence-critical finals, not batch
+    serving.
+    """
+    from lm2a_tpu.inference.sample import generate_mel
+
+    mel_t = int(round(total_seconds * sr / hop_size))
+    m = with_streaming_attention(models, mel_t)
+    gen, *_ = generate_mel(
+        m, motion, lyrics, mel_t,
+        steps=steps, guidance_weight=guidance_weight,
+        method=method, seed=seed,
+    )
+    return gen[0]

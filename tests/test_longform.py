@@ -80,3 +80,80 @@ class TestGenerateLong:
         mel_fps = 22050 / 256
         assert mel.shape == (80, int(round(total_seconds * mel_fps)))
         assert np.isfinite(mel).all()
+
+
+class TestSinglePass:
+    def test_streaming_attention_swaps_in_above_threshold(self):
+        """with_streaming_attention returns a fused-attention copy only for
+        long sequences, sharing the checkpoint params."""
+        from lm2a_tpu.inference.longform import with_streaming_attention
+        from lm2a_tpu.inference.sample import LoadedModels
+        from lm2a_tpu.core.config import LM2AConfig
+        from lm2a_tpu.models.factory import build_denoiser
+
+        cfg = LM2AConfig()
+        models = LoadedModels(
+            cfg=cfg, denoiser=build_denoiser(cfg.model, "bfloat16"),
+            cond_proj=object(), unet_params={"p": 1}, proj_params={"q": 2},
+            dataset_mean=-4.0, dataset_std=1.9, timesteps=1000,
+        )
+        same = with_streaming_attention(models, 516)
+        assert same is models
+        long = with_streaming_attention(models, 4096)
+        assert long is not models
+        assert long.cfg.model.fused_attention
+        assert long.unet_params is models.unet_params
+        assert long.proj_params is models.proj_params
+
+    def test_single_pass_generates_full_length(self):
+        """Tiny model, CPU: one-window generation produces the right shape
+        and finite values (the fused path is exercised in interpret mode
+        when T exceeds the kernel threshold)."""
+        import dataclasses
+
+        import lm2a_tpu.ops.pallas_attention as pa
+        from lm2a_tpu.core.config import (
+            DiffusionConfig, LM2AConfig, ModelConfig,
+        )
+        from lm2a_tpu.inference.longform import generate_single_pass
+        from lm2a_tpu.inference.sample import LoadedModels
+        from lm2a_tpu.models.factory import (
+            build_cond_projection, build_denoiser,
+        )
+
+        cfg = LM2AConfig(
+            model=ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                              time_emb_dim=16, num_res_blocks=1, mid_blocks=1,
+                              attn_heads=2, motion_dim=12, text_dim=24),
+            diffusion=DiffusionConfig(timesteps=4),
+        )
+        den = build_denoiser(cfg.model, "bfloat16")
+        proj = build_cond_projection(cfg.model, "bfloat16")
+        T = 160  # > patched threshold below -> streaming path engaged
+        rng = np.random.default_rng(0)
+        motion = rng.normal(size=(90, 12)).astype(np.float32)
+        lyrics = rng.normal(size=(90, 24)).astype(np.float32)
+        import jax
+        import jax.numpy as jnp
+        x = jnp.zeros((1, T, 80))
+        uv = den.init(jax.random.key(0), x, jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, T, 8)), jnp.zeros((1, T, 8)))
+        pv = proj.init(jax.random.key(1), jnp.zeros((1, T, 12)),
+                       jnp.zeros((1, T, 24)))
+        models = LoadedModels(
+            cfg=cfg, denoiser=den, cond_proj=proj,
+            unet_params=uv, proj_params=pv,
+            dataset_mean=-4.0, dataset_std=1.9, timesteps=4,
+        )
+        orig = pa.STREAMING_S_THRESHOLD
+        pa.STREAMING_S_THRESHOLD = 96
+        try:
+            sr, hop = 22050, 256
+            mel = generate_single_pass(
+                models, motion, lyrics, total_seconds=T * hop / sr,
+                guidance_weight=2.0, seed=3,
+            )
+        finally:
+            pa.STREAMING_S_THRESHOLD = orig
+        assert mel.shape == (80, T)
+        assert np.isfinite(mel).all()
