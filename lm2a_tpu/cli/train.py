@@ -55,6 +55,9 @@ def build_parser(p=None):
                    help="fuse K optimizer steps into one dispatch (lax.scan)")
     p.add_argument("--keep_checkpoints", type=int, default=0,
                    help="prune to newest N checkpoints (0 = keep all)")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the packed dataset to device memory once and "
+                        "dispatch only batch indices (needs steps_per_call>1)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--no_tensorboard", action="store_true")
     return p
@@ -102,6 +105,7 @@ def config_from_args(args):
             compute_dtype=args.compute_dtype,
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
+            device_data=args.device_data,
         ),
     )
 

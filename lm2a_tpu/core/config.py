@@ -102,6 +102,9 @@ class TrainConfig:
     steps_per_call: int = 1
     # prune to the newest N checkpoints (0 = keep all, reference behavior)
     keep_checkpoints: int = 0
+    # upload the packed dataset to HBM once and dispatch only batch indices
+    # (needs steps_per_call > 1 and a packed dataset that fits device memory)
+    device_data: bool = False
 
 
 @dataclass(frozen=True)

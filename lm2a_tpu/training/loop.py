@@ -119,6 +119,32 @@ def train(
             denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
             dataset_mean=dataset_mean, dataset_std=dataset_std,
         )
+    devdata_step, device_data = None, None
+    if tc.device_data and tc.steps_per_call > 1 and isinstance(ds, PackedDataset):
+        # Device-resident dataset: upload the packed arrays to HBM once and
+        # ship only (K, B) row indices per dispatch. With a remote/PCIe
+        # device the per-dispatch batch transfer dominates the step
+        # otherwise (see make_device_data_multistep).
+        from lm2a_tpu.core.mesh import replicated as _rep
+        from lm2a_tpu.training.train_step import make_device_data_multistep
+
+        devdata_step = make_device_data_multistep(
+            denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
+            dataset_mean=dataset_mean, dataset_std=dataset_std,
+        )
+        rep_sh = _rep(mesh)
+        nbytes = sum(a.size * 4 for a in (ds.mel, ds.motion, ds.lyrics))
+        print(f"uploading dataset to device ({nbytes / 1e9:.2f} GB) ...")
+        t_up = time.time()
+        device_data = {
+            k: jax.device_put(np.ascontiguousarray(getattr(ds, k)), rep_sh)
+            for k in ("mel", "motion", "lyrics")
+        }
+        jax.block_until_ready(device_data)
+        print(f"dataset resident in HBM ({time.time() - t_up:.1f}s)")
+    elif tc.device_data:
+        print("device_data requested but needs steps_per_call>1 and a "
+              "packed dataset; falling back to the streaming path")
     eval_step = make_eval_step(
         denoiser, cond_proj, schedule, cfg, mesh=mesh,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
@@ -164,7 +190,48 @@ def train(
     epoch = start_epoch
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
-        if k_fuse > 1:
+        if devdata_step is not None:
+            # device-resident path: same shuffle stream as the superbatch
+            # iterator (seed + epoch), but only indices leave the host
+            n = len(ds)
+            order = np.arange(n)
+            rng = np.random.default_rng(tc.seed + epoch)
+            rng.shuffle(order)
+            group = tc.batch_size * k_fuse
+            n_groups = n // group
+            for g in range(n_groups):
+                idx = order[g * group : (g + 1) * group].astype(np.int32)
+                idx = idx.reshape(k_fuse, tc.batch_size)
+                offsets = np.arange(step, step + k_fuse, dtype=np.int32)
+                state, losses = devdata_step(
+                    state, device_data, idx, root_key, offsets
+                )
+                pending_loss = losses[-1]
+                if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
+                    last_loss = float(jax.device_get(losses[-1]))
+                    logger.log_step(epoch, step + k_fuse - 1, last_loss,
+                                    float(lr_fn(np.int32(step))))
+                step += k_fuse
+                timer.tick()
+                if (tc.save_interval and step % tc.save_interval < k_fuse
+                        and step >= tc.save_interval):
+                    ckpt(epoch)
+                if max_steps is not None and step >= max_steps:
+                    stop = True
+                    break
+            # tail batches that don't fill a K-group run single-step
+            if not stop:
+                tail_start = n_groups * group
+                bs = tc.batch_size
+                for start in range(tail_start, n - bs + 1, bs):
+                    batch = ds.gather(order[start : start + bs])
+                    step_key = jax.random.fold_in(root_key, step)
+                    state, pending_loss = train_step(state, batch, step_key)
+                    step += 1
+                    if max_steps is not None and step >= max_steps:
+                        stop = True
+                        break
+        elif k_fuse > 1:
             # fast path: k*bs-row native gathers, double-buffered in C++,
             # device-prefetched as one host->device transfer per dispatch
             stream = superbatch_iterator(

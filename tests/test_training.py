@@ -254,3 +254,97 @@ class TestCheckpointRetention:
         names = os.listdir(ckpt_dir)
         assert "ckpt_step_1.meta.json" not in names
         assert "ckpt_step_4.meta.json" in names
+
+
+class TestDeviceDataMultistep:
+    def test_matches_host_multistep(self, setup):
+        """Device-resident gather path == host-stacked multistep, same order."""
+        from lm2a_tpu.training.train_step import (
+            make_device_data_multistep,
+            make_multistep_train_step,
+        )
+
+        denoiser, cond_proj, schedule, state, tx = setup
+        multi = make_multistep_train_step(denoiser, cond_proj, schedule, CFG, tx)
+        devm = make_device_data_multistep(denoiser, cond_proj, schedule, CFG, tx)
+
+        # a 24-row "dataset" on device, indexed as K=3 batches of 8
+        rng = np.random.default_rng(7)
+        data = {
+            "mel": rng.normal(size=(24, T_MEL, 80)).astype(np.float32),
+            "motion": rng.normal(size=(24, T_MEL, 12)).astype(np.float32),
+            "lyrics": rng.normal(size=(24, T_MEL, 24)).astype(np.float32),
+        }
+        order = rng.permutation(24).astype(np.int32)
+        idx = order.reshape(3, 8)
+        stacked = {k: v[order].reshape(3, 8, *v.shape[1:]) for k, v in data.items()}
+
+        root = jax.random.key(9)
+        offsets = jnp.arange(3, dtype=jnp.int32)
+        st_a, losses_a = multi(jax.tree.map(jnp.copy, state), stacked, root, offsets)
+        st_b, losses_b = devm(
+            jax.tree.map(jnp.copy, state),
+            {k: jnp.asarray(v) for k, v in data.items()},
+            jnp.asarray(idx), root, offsets,
+        )
+        np.testing.assert_allclose(np.asarray(losses_a), np.asarray(losses_b),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(st_a.params["unet"]["in_proj"]["kernel"]),
+            np.asarray(st_b.params["unet"]["in_proj"]["kernel"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert int(st_b.step) == 3
+
+    def test_loop_device_data_matches_streaming(self, tmp_path):
+        """End-to-end: --device_data loop == streaming fused loop (same seed)."""
+        import csv
+
+        from lm2a_tpu.core.config import DataConfig, DiffusionConfig, LM2AConfig
+        from lm2a_tpu.core.config import ModelConfig as MC, TrainConfig as TC
+        from lm2a_tpu.data.dataset import pack_dataset
+        from lm2a_tpu.data.schema import Sample, save_sample
+        from lm2a_tpu.training.loop import train
+
+        rng = np.random.default_rng(0)
+        npz = tmp_path / "npz"
+        npz.mkdir()
+        for i in range(10):
+            save_sample(str(npz / f"sample_{i:08d}.npz"), Sample(
+                mel=rng.normal(size=(80, T_MEL)).astype(np.float32),
+                motion=rng.normal(size=(12, 12)).astype(np.float32),
+                lyrics=rng.normal(size=(12, 24)).astype(np.float32)))
+        pack = str(tmp_path / "pack")
+        pack_dataset(str(npz), pack)
+
+        from lm2a_tpu.core.mesh import make_mesh as _mm
+
+        one_dev = _mm(jax.devices()[:1])
+
+        def run(save, device_data):
+            cfg = LM2AConfig(
+                model=MC(base_dim=16, dim_mults=(1, 2), cond_dim=8,
+                         time_emb_dim=16, num_res_blocks=1, mid_blocks=1,
+                         attn_heads=2, motion_dim=12, text_dim=24),
+                diffusion=DiffusionConfig(timesteps=20),
+                train=TC(batch_size=2, epochs=2, steps_per_call=2,
+                         device_data=device_data, seed=3, log_interval=1),
+                data=DataConfig(),
+            )
+            return train(cfg, pack, str(tmp_path / save), mesh=one_dev,
+                         use_tensorboard=False)
+
+        ra = run("run_stream", False)
+        rb = run("run_dev", True)
+        assert ra.final_step == rb.final_step
+
+        def losses(p):
+            with open(p) as f:
+                return [row["train_loss"] for row in csv.DictReader(f)
+                        if row["train_loss"]]
+
+        la = losses(str(tmp_path / "run_stream" / "train_log.csv"))
+        lb = losses(str(tmp_path / "run_dev" / "train_log.csv"))
+        assert len(la) == len(lb) > 0
+        for a, b in zip(la, lb):
+            assert abs(float(a) - float(b)) < 2e-5
