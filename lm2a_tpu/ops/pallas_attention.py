@@ -54,20 +54,23 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int, head_dim: int
     heads stay in VMEM; the batched dot_generals keep the MXU fed across the
     head dimension.
     """
-    q = q_ref[0].astype(jnp.float32)  # (h, Tp, hd)
-    k = k_ref[0].astype(jnp.float32)  # (h, Sp, hd)
-    v = v_ref[0].astype(jnp.float32)
+    # matmuls stay in the INPUT dtype (bf16 on the serving path) with fp32
+    # accumulation — casting operands to fp32 costs ~4x MXU throughput and
+    # was the whole gap to XLA in the round-2 A/B. Softmax math runs fp32.
+    q = q_ref[0]  # (h, Tp, hd)
+    k = k_ref[0]  # (h, Sp, hd)
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (h, Tp, Sp)
+    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (h, Tp, Sp) fp32
     key_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(key_ids < s_valid, scores, -1e30)
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     exp = jnp.exp(scores)
-    probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
     out = jax.lax.dot_general(
         probs, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (h, Tp, hd)
+    )  # (h, Tp, hd) fp32
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -104,12 +107,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # (hpb, bt, hd)
-    k = k_ref[0].astype(jnp.float32)  # (hpb, bs, hd)
-    v = v_ref[0].astype(jnp.float32)
+    # bf16 matmuls + fp32 accumulation (see _attention_kernel note): only
+    # the softmax/rescale bookkeeping runs fp32.
+    q = q_ref[0]  # (hpb, bt, hd)
+    k = k_ref[0]  # (hpb, bs, hd)
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (hpb, bt, bs)
+    ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))  # (hpb, bt, bs) fp32
     key_ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(key_ids < s_valid, scores, -1e30)
 
@@ -120,7 +125,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     l_ref[:, :, :1] = corr * l_ref[:, :, :1] + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:, :, :1] = m_new
     acc_ref[:] = corr * acc_ref[:] + jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(si == n_s - 1)

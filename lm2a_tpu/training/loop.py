@@ -145,6 +145,24 @@ def train(
     elif tc.device_data:
         print("device_data requested but needs steps_per_call>1 and a "
               "packed dataset; falling back to the streaming path")
+    devdata_eval, device_val_data = None, None
+    if (devdata_step is not None and val_ds is not None
+            and isinstance(val_ds, PackedDataset)):
+        # validation gets the same treatment: val split resident in HBM,
+        # one dispatch per epoch shipping only row indices
+        from lm2a_tpu.core.mesh import replicated as _rep
+        from lm2a_tpu.training.train_step import make_device_data_eval
+
+        devdata_eval = make_device_data_eval(
+            denoiser, cond_proj, schedule, cfg, mesh=mesh,
+            dataset_mean=dataset_mean, dataset_std=dataset_std,
+        )
+        rep_sh = _rep(mesh)
+        device_val_data = {
+            k: jax.device_put(np.ascontiguousarray(getattr(val_ds, k)), rep_sh)
+            for k in ("mel", "motion", "lyrics")
+        }
+        jax.block_until_ready(device_val_data)
     eval_step = make_eval_step(
         denoiser, cond_proj, schedule, cfg, mesh=mesh,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
@@ -289,16 +307,32 @@ def train(
         ve = tc.validate_every_epochs
         due_val = bool(ve) and (epoch + 1) % ve == 0
         if val_ds is not None and not stop and due_val:
-            vlosses = []
-            vit = BatchIterator(val_ds, tc.batch_size, shuffle=False)
-            for i, vbatch in enumerate(device_prefetch(vit, mesh=mesh)):
-                if tc.val_cap_batches and i >= tc.val_cap_batches:
-                    break
-                vkey = jax.random.fold_in(root_key, 10_000_000 + step + i)
-                vlosses.append(eval_step(state.params, vbatch, vkey))
-            if vlosses:
-                val_loss = float(np.mean(jax.device_get(vlosses)))
-                print(f"epoch {epoch} val loss: {val_loss:.6f} ({len(vlosses)} batches)")
+            if devdata_eval is not None:
+                bs = tc.batch_size
+                n_val = len(val_ds) // bs
+                if tc.val_cap_batches:
+                    n_val = min(n_val, tc.val_cap_batches)
+                if n_val:
+                    vidx = np.arange(n_val * bs, dtype=np.int32).reshape(n_val, bs)
+                    # same fold_in stream as the streaming path below
+                    voff = 10_000_000 + step + np.arange(n_val, dtype=np.int32)
+                    vlosses = devdata_eval(
+                        state.params, device_val_data, vidx, root_key, voff
+                    )
+                    val_loss = float(np.mean(jax.device_get(vlosses)))
+                    print(f"epoch {epoch} val loss: {val_loss:.6f} "
+                          f"({n_val} batches, device-resident)")
+            else:
+                vlosses = []
+                vit = BatchIterator(val_ds, tc.batch_size, shuffle=False)
+                for i, vbatch in enumerate(device_prefetch(vit, mesh=mesh)):
+                    if tc.val_cap_batches and i >= tc.val_cap_batches:
+                        break
+                    vkey = jax.random.fold_in(root_key, 10_000_000 + step + i)
+                    vlosses.append(eval_step(state.params, vbatch, vkey))
+                if vlosses:
+                    val_loss = float(np.mean(jax.device_get(vlosses)))
+                    print(f"epoch {epoch} val loss: {val_loss:.6f} ({len(vlosses)} batches)")
 
         if pending_loss is not None:
             last_loss = float(jax.device_get(pending_loss))

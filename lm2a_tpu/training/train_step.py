@@ -305,6 +305,60 @@ def make_device_data_multistep(
     )
 
 
+def make_device_data_eval(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+):
+    """Fused validation over a DEVICE-RESIDENT val split.
+
+    ``fn(params, data, idx, base_key, offsets) -> (K,) losses`` where ``data``
+    holds the packed val arrays in HBM and ``idx`` is (K, B) int32 row
+    indices. Each scanned batch is gathered on device and scored with the
+    IDENTICAL math to ``make_eval_step`` (``offsets`` feeds the same
+    ``fold_in`` stream the streaming path uses, so both paths produce the
+    same numbers). Counterpart of ``make_device_data_multistep`` for the
+    reference's per-epoch capped validation pass (train.py:220-247): with a
+    remote-attached device, K streamed val batches cost K host->device
+    batch transfers; here one dispatch ships only the index array.
+    """
+
+    def eval_one(params, batch, key):
+        return _loss(
+            params, denoiser, cond_proj, schedule, batch, key,
+            cond_drop_prob=0.0, dataset_mean=dataset_mean,
+            dataset_std=dataset_std, train=False,
+        )
+
+    bsh = batch_sharding(mesh) if mesh is not None else None
+
+    def multi_fn(params, data, idx, base_key, offsets):
+        def body(carry, inp):
+            idx_k, off = inp
+            batch = {k: jnp.take(v, idx_k, axis=0) for k, v in data.items()}
+            if bsh is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, bsh)
+                         for k, v in batch.items()}
+            loss = eval_one(params, batch, jax.random.fold_in(base_key, off))
+            return carry, loss
+
+        _, losses = jax.lax.scan(body, None, (idx, offsets))
+        return losses
+
+    if mesh is None:
+        return jax.jit(multi_fn)
+    rep = replicated(mesh)
+    return jax.jit(
+        multi_fn,
+        in_shardings=(rep, rep, rep, rep, rep),
+        out_shardings=rep,
+    )
+
+
 def make_eval_step(
     denoiser,
     cond_proj,

@@ -73,11 +73,20 @@ def main():
     lens = [int(a) for a in sys.argv[1:]] or [2048, 4096]
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
     for t_len in lens:
-        xla = bench(t_len, fused=False)
-        pal = bench(t_len, fused=True)
-        print(f"T={t_len}: XLA {xla*1e3:.2f} ms/fwd  "
-              f"pallas-streaming {pal*1e3:.2f} ms/fwd  "
-              f"speedup {xla/pal:.2f}x", flush=True)
+        res = {}
+        for fused in (False, True):
+            try:
+                res[fused] = bench(t_len, fused=fused)
+            except Exception as e:  # e.g. XLA path OOMs at very long T
+                print(f"  T={t_len} fused={fused}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:200]})",
+                      file=sys.stderr, flush=True)
+                res[fused] = None
+        xla, pal = res[False], res[True]
+        fmt = lambda v: f"{v*1e3:.2f} ms/fwd" if v else "FAILED"
+        ratio = f"speedup {xla/pal:.2f}x" if xla and pal else ""
+        print(f"T={t_len}: XLA {fmt(xla)}  pallas-streaming {fmt(pal)}  "
+              f"{ratio}", flush=True)
 
 
 if __name__ == "__main__":

@@ -296,6 +296,35 @@ class TestDeviceDataMultistep:
         )
         assert int(st_b.step) == 3
 
+    def test_device_data_eval_matches_eval_step(self, setup):
+        """Fused device-resident validation == per-batch eval_step stream."""
+        from lm2a_tpu.training.train_step import make_device_data_eval
+
+        denoiser, cond_proj, schedule, state, tx = setup
+        eval_step = make_eval_step(denoiser, cond_proj, schedule, CFG)
+        deve = make_device_data_eval(denoiser, cond_proj, schedule, CFG)
+
+        rng = np.random.default_rng(11)
+        data = {
+            "mel": rng.normal(size=(24, T_MEL, 80)).astype(np.float32),
+            "motion": rng.normal(size=(24, T_MEL, 12)).astype(np.float32),
+            "lyrics": rng.normal(size=(24, T_MEL, 24)).astype(np.float32),
+        }
+        root = jax.random.key(5)
+        # the streaming loop folds 10_000_000 + step + i per val batch
+        offsets = 10_000_000 + 7 + np.arange(3, dtype=np.int32)
+        want = []
+        for i in range(3):
+            batch = {k: v[i * 8 : (i + 1) * 8] for k, v in data.items()}
+            want.append(eval_step(
+                state.params, batch, jax.random.fold_in(root, offsets[i])))
+        idx = np.arange(24, dtype=np.int32).reshape(3, 8)
+        got = deve(state.params,
+                   {k: jnp.asarray(v) for k, v in data.items()},
+                   jnp.asarray(idx), root, jnp.asarray(offsets))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
     def test_loop_device_data_matches_streaming(self, tmp_path):
         """End-to-end: --device_data loop == streaming fused loop (same seed)."""
         import csv
@@ -332,19 +361,24 @@ class TestDeviceDataMultistep:
                 data=DataConfig(),
             )
             return train(cfg, pack, str(tmp_path / save), mesh=one_dev,
-                         use_tensorboard=False)
+                         val_npz_dir=pack, use_tensorboard=False)
 
         ra = run("run_stream", False)
         rb = run("run_dev", True)
         assert ra.final_step == rb.final_step
 
-        def losses(p):
+        def losses(p, col="train_loss"):
             with open(p) as f:
-                return [row["train_loss"] for row in csv.DictReader(f)
-                        if row["train_loss"]]
+                return [row[col] for row in csv.DictReader(f) if row[col]]
 
         la = losses(str(tmp_path / "run_stream" / "train_log.csv"))
         lb = losses(str(tmp_path / "run_dev" / "train_log.csv"))
         assert len(la) == len(lb) > 0
         for a, b in zip(la, lb):
+            assert abs(float(a) - float(b)) < 2e-5
+        # the device-resident fused validation pass logs the same val losses
+        va = losses(str(tmp_path / "run_stream" / "train_log.csv"), "val_loss")
+        vb = losses(str(tmp_path / "run_dev" / "train_log.csv"), "val_loss")
+        assert len(va) == len(vb) > 0
+        for a, b in zip(va, vb):
             assert abs(float(a) - float(b)) < 2e-5
