@@ -129,9 +129,12 @@ def with_streaming_attention(models: LoadedModels, mel_t: int) -> LoadedModels:
     """Return ``models`` with the streaming flash-attention denoiser when the
     sequence is long enough for it to engage.
 
-    Cross-attention here has S == T, so above the kernel's streaming
-    threshold the XLA path materializes (B, h, T, T) probabilities per site
-    while the Pallas kernel (``ops/pallas_attention``) keeps them in VMEM.
+    Cross-attention here has S == T, so at long T the XLA path materializes
+    (B, h, T, T) probabilities per site while the Pallas kernel
+    (``ops/pallas_attention``) keeps them in VMEM. The engage point is the
+    MEASURED break-even (``FUSED_ATTENTION_MIN_T``, ~12k frames): below it
+    XLA's fused form is faster and memory still fits; above it the kernel
+    wins and is eventually the only path that runs at all.
     Parameters are unchanged (the flag only reroutes the attention core), so
     the returned copy shares the loaded checkpoint; its sampler cache is
     fresh (different compiled programs).
@@ -139,9 +142,9 @@ def with_streaming_attention(models: LoadedModels, mel_t: int) -> LoadedModels:
     from dataclasses import replace as dc_replace
 
     from lm2a_tpu.models.factory import build_denoiser
-    from lm2a_tpu.ops.pallas_attention import STREAMING_S_THRESHOLD
+    from lm2a_tpu.ops.pallas_attention import FUSED_ATTENTION_MIN_T
 
-    if mel_t <= STREAMING_S_THRESHOLD:
+    if mel_t <= FUSED_ATTENTION_MIN_T:
         return models
     cfg = dc_replace(models.cfg, model=dc_replace(models.cfg.model,
                                                   fused_attention=True))

@@ -8,7 +8,7 @@ documented fallback constants -> interp-resample conds to mel length ->
 DDPM chain with optional CFG -> de-normalize -> write ``<base>_gen.npz``
 (mel + conds + projected conds) and gen/real PNGs.
 
-Accepts BOTH checkpoint formats: this framework's orbax directories and the
+Accepts BOTH checkpoint formats: this framework's checkpoint directories and the
 reference's ``torch.save`` files (converted on the fly), so reference users
 can sample from their existing checkpoints on TPU.
 """
@@ -59,12 +59,12 @@ def load_models(
     prefer_ema: bool = True,
     compute_dtype: str = "bfloat16",
 ) -> LoadedModels:
-    """Load an orbax checkpoint dir or a reference torch checkpoint file."""
+    """Load a framework checkpoint dir or a reference torch checkpoint file."""
     mean, std = FALLBACK_MEL_MEAN, FALLBACK_MEL_STD
     timesteps = None
     guidance_weight = None
 
-    if os.path.isdir(ckpt_path):  # our orbax layout
+    if os.path.isdir(ckpt_path):  # our checkpoint layout
         from lm2a_tpu.core.config import config_from_dict
         from lm2a_tpu.models.factory import (
             build_cond_projection as bcp,

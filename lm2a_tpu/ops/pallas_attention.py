@@ -13,12 +13,19 @@ scores = ~1 MB << 16 MB VMEM), so this is a single-block flash kernel, not a
 streaming one. Gradients: a custom VJP recomputes through the plain-XLA
 reference implementation (standard rematerialization trade).
 
-Measured on one v5e chip (chained-scan forward, B=2, T=516, flagship UNet):
-XLA attention path 1.99 ms; kernel v1 (grid B*h, head_dim padded to 128
-lanes) 2.35 ms; kernel v2 (head-tiled blocks, true-hd lanes) 2.35 ms. At
-hd=32 XLA's own fusion already wins, so ``fused_attention`` stays opt-in
-(it becomes interesting for longer sequences / larger head dims, where the
-(T, S) probs no longer fit XLA's fusion budget).
+Measured on one v5e chip (chained-scan forwards, bf16, flagship UNet):
+at T=516 XLA's attention path wins (1.99 ms vs 2.35 ms full-forward — at
+hd=32 XLA's own fusion is already optimal); full-UNet A/B of the streaming
+kernel at long T gives XLA/pallas speedups 0.71x / 0.83x / 0.95x / 1.04x at
+T = 2048 / 4096 / 8192 / 16384. The kernel is therefore OPT-IN
+(``ModelConfig.fused_attention``) at training/serving lengths and
+auto-engaged by long-form generation above ``FUSED_ATTENTION_MIN_T``
+(~12k frames), where it both wins and — once (B, h, T, T) probabilities
+outgrow HBM — is the only path that runs. Keeping matmuls in the input
+dtype (bf16) with fp32 accumulation measured neutral at these shapes: the
+hd=32 contraction leaves the MXU 4x under-filled either way, so the gap to
+XLA below break-even is softmax/rescale VPU work plus grid overhead, not
+matmul rate.
 """
 
 from __future__ import annotations
@@ -180,8 +187,16 @@ def _attention_pallas_streaming(q, k, v, interpret: bool,
 
 
 # Above this many key/value rows, stream S tiles with online softmax instead
-# of holding the whole (T, S) score block in VMEM.
+# of holding the whole (T, S) score block in VMEM. (Kernel-internal choice:
+# which Pallas variant runs, NOT whether Pallas beats XLA.)
 STREAMING_S_THRESHOLD = 1024
+
+# Measured break-even vs the XLA attention path on one v5e chip (chained-scan
+# full-UNet forwards, B=1, bf16, round 2): XLA wins 0.71x/0.83x/0.95x at
+# T=2048/4096/8192; the streaming kernel wins 1.04x at T=16384 and is the
+# only option once (B, h, T, T) probabilities outgrow HBM. Long-form
+# generation auto-engages the kernel above this length (≈2.4 min of audio).
+FUSED_ATTENTION_MIN_T = 12288
 
 
 def _attention_pallas(q, k, v, interpret: bool):

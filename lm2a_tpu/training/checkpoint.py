@@ -1,4 +1,4 @@
-"""Orbax checkpointing with real resume.
+"""Checkpointing with real resume.
 
 The reference saves whole-model ``torch.save`` dicts every 1000 steps
 (``/root/reference/train.py:192-206``) but deliberately nulls any ``--ckpt``
@@ -7,8 +7,16 @@ TrainState (params, EMA, optimizer state, step), the config, and the dataset
 statistics — and resume actually works.
 
 Layout:
-    <dir>/ckpt_step_<n>/   orbax state tree
+    <dir>/ckpt_step_<n>/state.npz   flattened state tree (uncompressed)
     <dir>/ckpt_step_<n>.meta.json   config + stats + epoch
+
+Format note: the state is written as ONE uncompressed ``np.savez`` archive
+keyed by ``jax.tree_util.keystr`` paths, after a single batched
+``jax.device_get`` of the whole tree. Orbax's default zarr writer compresses
+every chunk on the host CPU — measured ~0.6 MB/s for the flagship's 3.2 GB
+TrainState on this image's single core (an hour per save); the raw format
+writes at disk speed and the device->host fetch becomes the floor.
+Restoring falls back to orbax for checkpoints written before this format.
 """
 
 from __future__ import annotations
@@ -16,14 +24,16 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from typing import Any, Optional, Tuple
 
 import jax
-import orbax.checkpoint as ocp
+import numpy as np
 
 from lm2a_tpu.core.config import LM2AConfig, config_from_dict, config_to_dict
 
 _STEP_RE = re.compile(r"^ckpt_step_(\d+)$")
+_STATE_FILE = "state.npz"
 
 
 def checkpoint_path(ckpt_dir: str, step: int) -> str:
@@ -44,10 +54,17 @@ def save_checkpoint(
     """Save; with ``keep_last > 0`` prune all but the newest N checkpoints
     (0 keeps everything — the reference's accumulate-forever behavior)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    step = int(jax.device_get(state.step))
+    host_state = jax.device_get(state)  # one batched fetch of the whole tree
+    step = int(host_state.step)
     path = checkpoint_path(ckpt_dir, step)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+    flat, _ = jax.tree_util.tree_flatten_with_path(host_state)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat}
+    tmp = path + ".tmp-write"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    np.savez(os.path.join(tmp, _STATE_FILE), **arrays)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
     meta = {
         "step": step,
         "epoch": epoch,
@@ -61,8 +78,6 @@ def save_checkpoint(
         json.dump(meta, f, indent=2)
 
     if keep_last and keep_last > 0:
-        import shutil
-
         for old_step in list_checkpoints(ckpt_dir)[:-keep_last]:
             old = checkpoint_path(ckpt_dir, old_step)
             shutil.rmtree(old, ignore_errors=True)
@@ -98,9 +113,26 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, dict]:
     """Restore (TrainState, metadata). ``state_template`` supplies the tree
     structure/shapes (an initialized TrainState works)."""
     path = os.path.abspath(path)
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
-    with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(path, abstract)
+    npz = os.path.join(path, _STATE_FILE)
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            flat, treedef = jax.tree_util.tree_flatten_with_path(state_template)
+            leaves = []
+            for kp, tmpl in flat:
+                arr = z[jax.tree_util.keystr(kp)]
+                if arr.shape != tuple(np.shape(tmpl)):
+                    raise ValueError(
+                        f"checkpoint leaf {jax.tree_util.keystr(kp)} has shape "
+                        f"{arr.shape}, template expects {np.shape(tmpl)}"
+                    )
+                leaves.append(arr)
+            state = jax.tree_util.tree_unflatten(treedef, leaves)
+    else:  # orbax fallback for checkpoints written before the npz format
+        import orbax.checkpoint as ocp
+
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(path, abstract)
     meta = load_metadata(path) if os.path.exists(path + ".meta.json") else {}
     return state, meta
 

@@ -99,7 +99,10 @@ class TestSinglePass:
         )
         same = with_streaming_attention(models, 516)
         assert same is models
-        long = with_streaming_attention(models, 4096)
+        # below the measured XLA/Pallas break-even the XLA path stays
+        mid = with_streaming_attention(models, 4096)
+        assert mid is models
+        long = with_streaming_attention(models, 16384)
         assert long is not models
         assert long.cfg.model.fused_attention
         assert long.unet_params is models.unet_params
