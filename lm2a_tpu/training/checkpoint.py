@@ -40,6 +40,17 @@ def checkpoint_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"ckpt_step_{step}")
 
 
+_pending_write: Optional["threading.Thread"] = None  # noqa: F821
+
+
+def wait_for_pending_save() -> None:
+    """Block until an in-flight async checkpoint write has finished."""
+    global _pending_write
+    if _pending_write is not None:
+        _pending_write.join()
+        _pending_write = None
+
+
 def save_checkpoint(
     ckpt_dir: str,
     state,
@@ -50,21 +61,30 @@ def save_checkpoint(
     dataset_std: float = 1.0,
     extra: Optional[dict] = None,
     keep_last: int = 0,
+    async_write: bool = False,
 ) -> str:
     """Save; with ``keep_last > 0`` prune all but the newest N checkpoints
-    (0 keeps everything — the reference's accumulate-forever behavior)."""
+    (0 keeps everything — the reference's accumulate-forever behavior).
+
+    ``async_write=True`` returns as soon as the device->host fetch completes
+    and does the (CPU-bound) archive write + retention pruning on a
+    background thread. The fetch itself must stay on the caller's thread:
+    the train step donates its input state, so a backgrounded fetch could
+    read donated-away device buffers. The tmp-dir/rename protocol keeps a
+    crash mid-write from ever exposing a partial checkpoint, and
+    ``wait_for_pending_save`` (called at the start of the next save and at
+    loop exit) serializes writers.
+    """
+    import threading
+
+    global _pending_write
     os.makedirs(ckpt_dir, exist_ok=True)
+    wait_for_pending_save()
     host_state = jax.device_get(state)  # one batched fetch of the whole tree
     step = int(host_state.step)
     path = checkpoint_path(ckpt_dir, step)
     flat, _ = jax.tree_util.tree_flatten_with_path(host_state)
     arrays = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat}
-    tmp = path + ".tmp-write"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    np.savez(os.path.join(tmp, _STATE_FILE), **arrays)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
     meta = {
         "step": step,
         "epoch": epoch,
@@ -74,17 +94,30 @@ def save_checkpoint(
     }
     if extra:
         meta.update(extra)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f, indent=2)
 
-    if keep_last and keep_last > 0:
-        for old_step in list_checkpoints(ckpt_dir)[:-keep_last]:
-            old = checkpoint_path(ckpt_dir, old_step)
-            shutil.rmtree(old, ignore_errors=True)
-            try:
-                os.remove(old + ".meta.json")
-            except OSError:
-                pass
+    def _write():
+        tmp = path + ".tmp-write"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        np.savez(os.path.join(tmp, _STATE_FILE), **arrays)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2)
+        if keep_last and keep_last > 0:
+            for old_step in list_checkpoints(ckpt_dir)[:-keep_last]:
+                old = checkpoint_path(ckpt_dir, old_step)
+                shutil.rmtree(old, ignore_errors=True)
+                try:
+                    os.remove(old + ".meta.json")
+                except OSError:
+                    pass
+
+    if async_write:
+        _pending_write = threading.Thread(target=_write, daemon=True)
+        _pending_write.start()
+    else:
+        _write()
     return path
 
 

@@ -179,10 +179,12 @@ def train(
     stop = False
 
     def ckpt(epoch):
+        # async_write: only the device->host fetch blocks the loop; the
+        # CPU-bound archive write + pruning happen on a background thread
         path = save_checkpoint(
             save_dir, state, cfg, epoch=epoch,
             dataset_mean=dataset_mean, dataset_std=dataset_std,
-            keep_last=tc.keep_checkpoints,
+            keep_last=tc.keep_checkpoints, async_write=True,
         )
         print("saved checkpoint:", path)
 
@@ -343,5 +345,8 @@ def train(
     # final checkpoint records the NEXT epoch so resume doesn't redo the last
     # one (mid-epoch saves keep the current epoch and re-run the partial epoch)
     ckpt(epoch if stop else epoch + 1)
+    from lm2a_tpu.training.checkpoint import wait_for_pending_save
+
+    wait_for_pending_save()
     logger.close()
     return TrainResult(final_step=step, final_loss=last_loss, ckpt_dir=save_dir)

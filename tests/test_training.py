@@ -296,6 +296,21 @@ class TestDeviceDataMultistep:
         )
         assert int(st_b.step) == 3
 
+    def test_async_write_roundtrip(self, setup, tmp_path):
+        """async_write saves are identical to sync ones after the join."""
+        from lm2a_tpu.training.checkpoint import wait_for_pending_save
+
+        denoiser, cond_proj, schedule, state, tx = setup
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, state, CFG, epoch=3, async_write=True)
+        wait_for_pending_save()
+        path = latest_checkpoint(d)
+        restored, meta = restore_checkpoint(path, state)
+        assert meta["epoch"] == 3
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["unet"]["in_proj"]["kernel"]),
+            np.asarray(state.params["unet"]["in_proj"]["kernel"]))
+
     def test_device_data_eval_matches_eval_step(self, setup):
         """Fused device-resident validation == per-batch eval_step stream."""
         from lm2a_tpu.training.train_step import make_device_data_eval
