@@ -81,7 +81,14 @@ def tp_shardings(tree: Any, mesh: Mesh):
 
 
 def shard_state_tp(state, mesh: Mesh):
-    """Place a TrainState on the mesh with TP param/opt/EMA shardings."""
+    """Place a TrainState on the mesh with TP param/opt/EMA shardings.
+
+    ALIASING CONTRACT: ``device_put`` is a no-op for leaves whose target
+    sharding already matches, so the returned state can share buffers with
+    the input. The TP train step donates its input state, which then also
+    deletes those shared buffers — treat the INPUT state as consumed once
+    the returned state enters a donating step (snapshot anything you still
+    need first)."""
     shardings = state_shardings_tp(state, mesh)
     placed = jax.tree.map(jax.device_put, state, shardings)
     return placed, shardings
