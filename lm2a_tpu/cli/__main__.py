@@ -6,6 +6,7 @@ Commands map 1:1 onto the reference's entry-point scripts (SURVEY.md §1 L3/L5):
   split              datasetcode/newsplit_npz.py
   pack               (new) mmap-pack a split for fast training
   train              train.py
+  distill            (new) progressive distillation to a few-step student
   sample             sample.py
   val                val.py                  mel-domain assessment
   evaluate           evaluate_all.py         wav-domain metrics
@@ -22,6 +23,7 @@ COMMANDS = {
     "split": "lm2a_tpu.cli.split",
     "pack": "lm2a_tpu.cli.pack",
     "train": "lm2a_tpu.cli.train",
+    "distill": "lm2a_tpu.cli.distill",
     "sample": "lm2a_tpu.cli.sample",
     "val": "lm2a_tpu.cli.val",
     "evaluate": "lm2a_tpu.cli.evaluate",

@@ -1,0 +1,133 @@
+"""CLI: progressively distill a trained teacher into a few-step DDIM student.
+
+Framework extension (no reference analogue; the reference hard-codes the
+1000-step ancestral chain, ``/root/reference/sample.py:144``). Loads a
+teacher checkpoint, initializes the student from it, and runs one or more
+halving stages of progressive distillation (``training/distill.py``). The
+resulting checkpoint serves with::
+
+    python -m lm2a_tpu.cli sample --ckpt <out>/ckpt_step_N \\
+        --method ddim --ddim_steps <student_steps> --guidance 1.0
+
+(guidance 1.0: the teacher's CFG weight is folded into the student, so
+serving needs no doubled batch).
+"""
+
+import argparse
+
+
+def build_parser(p=None):
+    p = p or argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--teacher", required=True, help="teacher checkpoint dir")
+    p.add_argument("--npz_dir", required=True, help="train split (npz or pack dir)")
+    p.add_argument("--save_dir", default="distilled")
+    p.add_argument("--student_steps", type=int, default=50,
+                   help="final student DDIM step count")
+    p.add_argument("--start_steps", type=int, default=None,
+                   help="first stage's step count (default: 2*student_steps "
+                        "for a single halving stage)")
+    p.add_argument("--steps_per_stage", type=int, default=2000,
+                   help="optimizer steps per halving stage")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--guidance", type=float, default=2.1,
+                   help="teacher CFG weight folded into the student")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+
+    import jax
+    import numpy as np
+
+    from lm2a_tpu.core.config import config_from_dict
+    from lm2a_tpu.data.dataset import BatchIterator, device_prefetch
+    from lm2a_tpu.diffusion.schedule import make_schedule
+    from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+    from lm2a_tpu.training.checkpoint import (
+        load_metadata,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from lm2a_tpu.training.distill import make_distill_step
+    from lm2a_tpu.training.loop import _open_dataset
+    from lm2a_tpu.training.train_step import init_train_state, make_optimizer
+
+    meta = load_metadata(args.teacher)
+    cfg = config_from_dict(meta["config"])
+    cfg = type(cfg)(model=cfg.model, diffusion=cfg.diffusion,
+                    train=type(cfg.train)(
+                        batch_size=args.batch_size, lr=args.lr,
+                        weight_decay=0.0, seed=args.seed,
+                        ema_decay=cfg.train.ema_decay,
+                        compute_dtype=cfg.train.compute_dtype),
+                    data=cfg.data)
+    mean = float(meta.get("dataset_mean", 0.0))
+    std = float(meta.get("dataset_std", 1.0))
+
+    denoiser = build_denoiser(cfg.model, cfg.train.compute_dtype)
+    cond_proj = build_cond_projection(cfg.model, cfg.train.compute_dtype)
+    schedule = make_schedule(cfg.diffusion)
+
+    template, tx = init_train_state(denoiser, cond_proj, cfg, jax.random.key(args.seed))
+    teacher_state, _ = restore_checkpoint(args.teacher, template)
+    # teacher = EMA weights (what serving uses); student starts as a copy
+    teacher_params = jax.tree.map(np.asarray, teacher_state.ema_params)
+    state = type(template)(
+        step=template.step,
+        params=jax.tree.map(np.copy, teacher_params),
+        ema_params=jax.tree.map(np.copy, teacher_params),
+        opt_state=tx.init(jax.tree.map(np.copy, teacher_params)),
+    )
+
+    ds = _open_dataset(args.npz_dir, cfg.data.align_mode)
+    start = args.start_steps or 2 * args.student_steps
+    stages = []
+    n = start
+    while n >= args.student_steps:
+        stages.append(n)
+        if n == args.student_steps:
+            break
+        n = max(n // 2, args.student_steps)
+
+    root = jax.random.key(args.seed + 1)
+    gstep = 0
+    for stage_n in stages:
+        step_fn = make_distill_step(
+            denoiser, cond_proj, schedule, cfg, tx,
+            num_student_steps=stage_n, dataset_mean=mean, dataset_std=std,
+            guidance_weight=args.guidance,
+        )
+        print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps")
+        done = 0
+        while done < args.steps_per_stage:
+            it = BatchIterator(ds, cfg.train.batch_size, shuffle=True,
+                               seed=args.seed + gstep)
+            for batch in device_prefetch(it):
+                key = jax.random.fold_in(root, gstep)
+                state, loss = step_fn(state, teacher_params, batch, key)
+                gstep += 1
+                done += 1
+                if done % 100 == 0 or done == args.steps_per_stage:
+                    print(f"  [{stage_n}] step {done}/{args.steps_per_stage} "
+                          f"loss {float(jax.device_get(loss)):.6f}", flush=True)
+                if done >= args.steps_per_stage:
+                    break
+        # the next stage's teacher is this stage's student (EMA)
+        teacher_params = jax.tree.map(np.asarray,
+                                      jax.device_get(state.ema_params))
+        path = save_checkpoint(
+            args.save_dir, state, cfg, epoch=0, dataset_mean=mean,
+            dataset_std=std,
+            extra={"distilled_steps": stage_n,
+                   "folded_guidance": args.guidance,
+                   "teacher": args.teacher},
+        )
+        print(f"stage {stage_n} checkpoint: {path}")
+    print("distillation done:", path)
+
+
+if __name__ == "__main__":
+    main()

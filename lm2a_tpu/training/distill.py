@@ -1,0 +1,185 @@
+"""Progressive diffusion distillation (Salimans & Ho 2022) for few-step serving.
+
+Round-2 measurement (DEVNOTES): plain DDIM-50 on the reference-recipe
+checkpoint costs ~3 dB SNR and mis-calibrated output variance vs the
+1000-step DDPM chain. Progressive distillation closes that gap: a STUDENT
+initialized from the teacher learns, at each of its N DDIM times, to land in
+ONE step exactly where the frozen TEACHER lands in TWO deterministic DDIM
+half-steps. Halving stages (1000 -> 500 -> ... -> 50 -> ...) each reuse this
+same step. No reference analogue (the reference ships only the 1000-step
+ancestral chain, ``/root/reference/sample.py:144``; its ``ddim_sample`` is
+dormant) — this is a framework extension gated by
+``scripts/fewstep_quality.py``.
+
+Classifier-free guidance is folded INTO the student: the teacher's eps is
+the CFG-combined prediction (same ±5/±10 clamps as serving, via
+``guided_eps``), so a distilled student samples at that guidance with a
+SINGLE forward per step — no doubled batch — which alone halves serving
+cost before any step-count reduction.
+
+The student grid matches ``ddim_sample``'s ``linspace(T-1, 0, N)`` exactly,
+so a distilled checkpoint is served by the existing sampler with
+``method='ddim', ddim_steps=N, guidance_weight=1.0``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lm2a_tpu.core.config import LM2AConfig
+from lm2a_tpu.core.mesh import batch_sharding, replicated
+from lm2a_tpu.diffusion.gaussian import guided_eps
+from lm2a_tpu.diffusion.schedule import Schedule
+from lm2a_tpu.training.train_step import TrainState
+
+
+def student_time_grid(timesteps: int, num_student_steps: int):
+    """(ts, ts_prev, ts_mid): the student's DDIM grid over the teacher
+    schedule — identical rounding to ``ddim_sample`` — plus the teacher's
+    midpoint for each student step."""
+    ts = jnp.linspace(timesteps - 1, 0, num_student_steps).round().astype(jnp.int32)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+    ts_mid = (ts + ts_prev) // 2  # floor; t_prev=-1 -> mid=(t-1)//2
+    return ts, ts_prev, ts_mid
+
+
+def _ab(schedule: Schedule, t):
+    """alpha_bar at t with the t < 0 boundary meaning "fully denoised"."""
+    return jnp.where(t < 0, 1.0, schedule.alpha_bars[jnp.maximum(t, 0)])
+
+
+def ddim_det_step(x, eps, t, t_prev, schedule: Schedule, x0_clip: float = 2.0):
+    """One deterministic (eta=0) DDIM update, same clamped form as
+    ``ddim_sample``'s scan body. Shapes: x (B, ...), eps (B, ...), t/t_prev
+    (B,) int32 (per-sample times)."""
+    ab_t = _ab(schedule, t)
+    ab_prev = _ab(schedule, t_prev)
+    while ab_t.ndim < x.ndim:
+        ab_t, ab_prev = ab_t[..., None], ab_prev[..., None]
+    x0_pred = (x - eps * jnp.sqrt(1.0 - ab_t)) / jnp.sqrt(ab_t)
+    x0_pred = jnp.clip(x0_pred, -x0_clip, x0_clip)
+    return jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1.0 - ab_prev) * eps
+
+
+def make_distill_step(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    tx: optax.GradientTransformation,
+    num_student_steps: int,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+    guidance_weight: float = 1.0,
+    x0_clip: float = 2.0,
+):
+    """Build ``step(state, teacher_params, batch, key) -> (state, loss)``.
+
+    ``state`` holds the STUDENT (initialize it from the teacher's weights);
+    ``teacher_params`` is the frozen ``{'unet':…, 'cond_proj':…}`` tree.
+    Per batch element: draw a student grid index, noise x0 to x_t, run the
+    teacher TWO deterministic DDIM half-steps (t -> mid -> t_prev) with
+    CFG-combined eps, convert the landing point into the unique one-step
+    eps target, and regress the student's conditional eps on it. EMA and
+    optimizer update are identical to the normal train step.
+    """
+    ema_decay = cfg.train.ema_decay
+    ts_g, ts_prev_g, ts_mid_g = student_time_grid(
+        schedule.timesteps, num_student_steps
+    )
+
+    def eps_fn(params, x, t, motion_f, text_f):
+        def model_fn(xx, tt, m, l, **kw):
+            return denoiser.apply(
+                {"params": params["unet"]}, xx, tt, m, l,
+                deterministic=True, **kw,
+            )
+
+        return guided_eps(model_fn, x, t, motion_f, text_f, guidance_weight)
+
+    def loss_fn(student_params, teacher_params, batch, key):
+        k_idx, k_noise = jax.random.split(key)
+        x0 = (batch["mel"] - dataset_mean) / dataset_std
+        b = x0.shape[0]
+
+        # teacher conditions from the frozen projection; the student's own
+        # projection receives gradients through its eps (it starts as a
+        # copy of the teacher's and may adapt)
+        motion_f, text_f = cond_proj.apply(
+            {"params": teacher_params["cond_proj"]},
+            batch["motion"], batch["lyrics"],
+        )
+        motion_s, text_s = cond_proj.apply(
+            {"params": student_params["cond_proj"]},
+            batch["motion"], batch["lyrics"],
+        )
+
+        idx = jax.random.randint(k_idx, (b,), 0, num_student_steps)
+        t, t_prev, t_mid = ts_g[idx], ts_prev_g[idx], ts_mid_g[idx]
+
+        ab_t = _ab(schedule, t)[:, None, None]
+        noise = jax.random.normal(k_noise, x0.shape, dtype=x0.dtype)
+        x_t = jnp.sqrt(ab_t) * x0 + jnp.sqrt(1.0 - ab_t) * noise
+
+        # frozen teacher: two deterministic half-steps with CFG folded in
+        eps_1 = jax.lax.stop_gradient(
+            eps_fn(teacher_params, x_t, t, motion_f, text_f)
+        ).astype(jnp.float32)
+        x_mid = ddim_det_step(x_t.astype(jnp.float32), eps_1, t, t_mid,
+                              schedule, x0_clip)
+        eps_2 = jax.lax.stop_gradient(
+            eps_fn(teacher_params, x_mid, t_mid, motion_f, text_f)
+        ).astype(jnp.float32)
+        x_tgt = ddim_det_step(x_mid, eps_2, t_mid, t_prev, schedule, x0_clip)
+
+        # one-step target: solve x_tgt = a'' x~0 + s'' eps~ with
+        # x_t = a x~0 + s eps~  (a=sqrt(ab), s=sqrt(1-ab))
+        a_t, s_t = jnp.sqrt(ab_t), jnp.sqrt(1.0 - ab_t)
+        ab_pp = _ab(schedule, t_prev)[:, None, None]
+        a_pp, s_pp = jnp.sqrt(ab_pp), jnp.sqrt(1.0 - ab_pp)
+        denom = a_pp - (s_pp / s_t) * a_t
+        # denom -> 0 only when the student step is a no-op (t_prev == t);
+        # the grid never produces that, but guard anyway
+        x0_tgt = (x_tgt - (s_pp / s_t) * x_t) / jnp.where(
+            jnp.abs(denom) < 1e-6, 1e-6, denom
+        )
+        eps_tgt = (x_t - a_t * x0_tgt) / s_t
+
+        # student predicts conditional eps directly (guidance folded in)
+        def student_model(xx, tt, m, l, **kw):
+            return denoiser.apply(
+                {"params": student_params["unet"]}, xx, tt, m, l,
+                deterministic=True, **kw,
+            )
+
+        eps_student = student_model(x_t, t, motion_s, text_s).astype(jnp.float32)
+        return jnp.mean((eps_student - jax.lax.stop_gradient(eps_tgt)) ** 2)
+
+    def step_fn(state: TrainState, teacher_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, teacher_params, batch, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, params,
+        )
+        return TrainState(step=state.step + 1, params=params,
+                          ema_params=ema_params, opt_state=opt_state), loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )

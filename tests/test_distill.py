@@ -1,0 +1,103 @@
+"""Progressive distillation: grid/step consistency with the DDIM sampler,
+and end-to-end loss descent on a tiny model (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lm2a_tpu.core.config import DiffusionConfig, LM2AConfig, ModelConfig, TrainConfig
+from lm2a_tpu.diffusion.gaussian import ddim_sample
+from lm2a_tpu.diffusion.schedule import make_schedule
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.training.distill import (
+    ddim_det_step,
+    make_distill_step,
+    student_time_grid,
+)
+from lm2a_tpu.training.train_step import init_train_state, make_optimizer
+
+CFG = LM2AConfig(
+    model=ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+                      num_res_blocks=1, mid_blocks=1, attn_heads=2,
+                      motion_dim=12, text_dim=24),
+    diffusion=DiffusionConfig(timesteps=40),
+    train=TrainConfig(batch_size=4, lr=1e-3, ema_decay=0.9),
+)
+T_MEL = 32
+
+
+class TestGridAndStep:
+    def test_grid_matches_ddim_sampler(self):
+        sched = make_schedule(CFG.diffusion)
+        ts, ts_prev, ts_mid = student_time_grid(sched.timesteps, 8)
+        ref = jnp.linspace(sched.timesteps - 1, 0, 8).round().astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(ts), np.asarray(ref))
+        assert int(ts_prev[-1]) == -1
+        # midpoints strictly between the endpoints
+        mid, lo, hi = np.asarray(ts_mid), np.asarray(ts_prev), np.asarray(ts)
+        assert ((mid >= lo) & (mid < hi)).all()
+
+    def test_det_step_chain_equals_ddim_sample(self):
+        """Iterating ddim_det_step over the student grid with the same model
+        reproduces ddim_sample(eta=0) exactly (same clamps, same grid)."""
+        sched = make_schedule(CFG.diffusion)
+        den = build_denoiser(CFG.model)
+        x0 = jnp.zeros((2, T_MEL, 80), jnp.float32)
+        cond = jnp.zeros((2, T_MEL, CFG.model.cond_dim), jnp.float32)
+        params = den.init(jax.random.key(0), x0, jnp.zeros((2,), jnp.int32),
+                          cond, cond)
+
+        def model_fn(x, t, m, l, **kw):
+            return den.apply(params, x, t, m, l, deterministic=True)
+
+        n = 6
+        out_ref = ddim_sample(model_fn, sched, jax.random.key(7),
+                              (2, T_MEL, 80), cond, cond, num_steps=n, eta=0.0)
+
+        ts, ts_prev, _ = student_time_grid(sched.timesteps, n)
+        x = jax.random.normal(jax.random.fold_in(jax.random.key(7), 0),
+                              (2, T_MEL, 80), jnp.float32)
+        # ddim_sample draws x_init from split(key)[1] — reproduce it
+        _, k0 = jax.random.split(jax.random.key(7))
+        x = jax.random.normal(k0, (2, T_MEL, 80), jnp.float32)
+        for i in range(n):
+            tb = jnp.full((2,), int(ts[i]), jnp.int32)
+            tp = jnp.full((2,), int(ts_prev[i]), jnp.int32)
+            eps = model_fn(x, tb, cond, cond).astype(jnp.float32)
+            x = ddim_det_step(x.astype(jnp.float32), eps, tb, tp, sched)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(out_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestDistillStep:
+    def test_loss_decreases_and_state_updates(self):
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        sched = make_schedule(CFG.diffusion)
+        teacher_state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                            seq_len=T_MEL)
+        teacher_params = teacher_state.params
+        # student initialized FROM the teacher
+        student = jax.tree.map(jnp.copy, teacher_state)
+        tx = make_optimizer(CFG)
+
+        step = make_distill_step(
+            den, proj, sched, CFG, tx, num_student_steps=5,
+            dataset_mean=0.0, dataset_std=1.0, guidance_weight=2.1,
+        )
+        rng = np.random.default_rng(3)
+        batch = {
+            "mel": rng.normal(size=(4, T_MEL, 80)).astype(np.float32),
+            "motion": rng.normal(size=(4, T_MEL, 12)).astype(np.float32),
+            "lyrics": rng.normal(size=(4, T_MEL, 24)).astype(np.float32),
+        }
+        losses = []
+        for i in range(8):
+            student, loss = step(student, teacher_params, batch,
+                                 jax.random.key(100 + (i % 2)))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[0] > 0.0  # one-step vs two-step teacher mismatch
+        # repeating two alternating keys: the student should fit them
+        assert min(losses[-2:]) < losses[0], losses
+        assert int(student.step) == 8
