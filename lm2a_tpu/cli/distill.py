@@ -29,6 +29,9 @@ def build_parser(p=None):
     p.add_argument("--steps_per_stage", type=int, default=2000,
                    help="optimizer steps per halving stage")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--steps_per_call", type=int, default=25,
+                   help="fused optimizer steps per dispatch (packed datasets "
+                        "go device-resident and ship only row indices)")
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--guidance", type=float, default=2.1,
                    help="teacher CFG weight folded into the student")
@@ -73,14 +76,23 @@ def main(args=None):
 
     template, tx = init_train_state(denoiser, cond_proj, cfg, jax.random.key(args.seed))
     teacher_state, _ = restore_checkpoint(args.teacher, template)
-    # teacher = EMA weights (what serving uses); student starts as a copy
-    teacher_params = jax.tree.map(np.asarray, teacher_state.ema_params)
+    # teacher = EMA weights (what serving uses); student starts as a copy.
+    # Everything goes device-resident ONCE: a host numpy teacher tree passed
+    # into the jitted step re-marshals ~GBs per dispatch (measured: a
+    # page-fault storm, minutes/step on the 1-core host).
+    import jax.numpy as jnp
+
+    teacher_params = jax.device_put(
+        jax.tree.map(np.asarray, teacher_state.ema_params))
+    jax.block_until_ready(teacher_params)
     state = type(template)(
         step=template.step,
-        params=jax.tree.map(np.copy, teacher_params),
-        ema_params=jax.tree.map(np.copy, teacher_params),
-        opt_state=tx.init(jax.tree.map(np.copy, teacher_params)),
+        params=jax.tree.map(jnp.copy, teacher_params),
+        ema_params=jax.tree.map(jnp.copy, teacher_params),
+        opt_state=tx.init(teacher_params),
     )
+    state = jax.device_put(state)
+    del teacher_state
 
     ds = _open_dataset(args.npz_dir, cfg.data.align_mode)
     start = args.start_steps or 2 * args.student_steps
@@ -94,30 +106,72 @@ def main(args=None):
 
     root = jax.random.key(args.seed + 1)
     gstep = 0
+    k_fuse = max(1, args.steps_per_call)
+    device_data = None
+    if k_fuse > 1 and hasattr(ds, "mel"):
+        nbytes = sum(
+            np.asarray(getattr(ds, k)).nbytes
+            for k in ("mel", "motion", "lyrics"))
+        print(f"uploading dataset to device ({nbytes / 1e9:.2f} GB) ...",
+              flush=True)
+        device_data = {
+            k: jax.device_put(np.ascontiguousarray(getattr(ds, k)))
+            for k in ("mel", "motion", "lyrics")
+        }
+        jax.block_until_ready(device_data)
+
     for stage_n in stages:
-        step_fn = make_distill_step(
-            denoiser, cond_proj, schedule, cfg, tx,
-            num_student_steps=stage_n, dataset_mean=mean, dataset_std=std,
-            guidance_weight=args.guidance,
-        )
-        print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps")
+        print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps",
+              flush=True)
         done = 0
-        while done < args.steps_per_stage:
-            it = BatchIterator(ds, cfg.train.batch_size, shuffle=True,
-                               seed=args.seed + gstep)
-            for batch in device_prefetch(it):
-                key = jax.random.fold_in(root, gstep)
-                state, loss = step_fn(state, teacher_params, batch, key)
-                gstep += 1
-                done += 1
-                if done % 100 == 0 or done == args.steps_per_stage:
-                    print(f"  [{stage_n}] step {done}/{args.steps_per_stage} "
-                          f"loss {float(jax.device_get(loss)):.6f}", flush=True)
-                if done >= args.steps_per_stage:
-                    break
-        # the next stage's teacher is this stage's student (EMA)
-        teacher_params = jax.tree.map(np.asarray,
-                                      jax.device_get(state.ema_params))
+        if device_data is not None:
+            from lm2a_tpu.training.distill import (
+                make_device_data_multistep_distill,
+            )
+
+            multi_fn = make_device_data_multistep_distill(
+                denoiser, cond_proj, schedule, cfg, tx,
+                num_student_steps=stage_n, dataset_mean=mean,
+                dataset_std=std, guidance_weight=args.guidance,
+            )
+            n = len(ds)
+            b = cfg.train.batch_size
+            rng = np.random.default_rng(args.seed + stage_n)
+            while done < args.steps_per_stage:
+                k = min(k_fuse, args.steps_per_stage - done)
+                idx = rng.integers(0, n, size=(k, b)).astype(np.int32)
+                offsets = np.arange(gstep, gstep + k, dtype=np.int32)
+                state, losses = multi_fn(state, teacher_params, device_data,
+                                         idx, root, offsets)
+                gstep += k
+                done += k
+                print(f"  [{stage_n}] step {done}/{args.steps_per_stage} "
+                      f"loss {float(jax.device_get(losses)[-1]):.6f}",
+                      flush=True)
+        else:
+            step_fn = make_distill_step(
+                denoiser, cond_proj, schedule, cfg, tx,
+                num_student_steps=stage_n, dataset_mean=mean,
+                dataset_std=std, guidance_weight=args.guidance,
+            )
+            while done < args.steps_per_stage:
+                it = BatchIterator(ds, cfg.train.batch_size, shuffle=True,
+                                   seed=args.seed + gstep)
+                for batch in device_prefetch(it):
+                    key = jax.random.fold_in(root, gstep)
+                    state, loss = step_fn(state, teacher_params, batch, key)
+                    gstep += 1
+                    done += 1
+                    if done % 100 == 0 or done == args.steps_per_stage:
+                        print(f"  [{stage_n}] step {done}/"
+                              f"{args.steps_per_stage} loss "
+                              f"{float(jax.device_get(loss)):.6f}", flush=True)
+                    if done >= args.steps_per_stage:
+                        break
+        # the next stage's teacher is this stage's student (EMA); a
+        # device-side copy so donating `state` can't alias the teacher
+        teacher_params = jax.tree.map(jnp.copy, state.ema_params)
+        jax.block_until_ready(teacher_params)
         path = save_checkpoint(
             args.save_dir, state, cfg, epoch=0, dataset_mean=mean,
             dataset_std=std,

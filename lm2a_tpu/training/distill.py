@@ -66,20 +66,20 @@ def ddim_det_step(x, eps, t, t_prev, schedule: Schedule, x0_clip: float = 2.0):
     return jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1.0 - ab_prev) * eps
 
 
-def make_distill_step(
+def _distill_one_step(
     denoiser,
     cond_proj,
     schedule: Schedule,
     cfg: LM2AConfig,
     tx: optax.GradientTransformation,
     num_student_steps: int,
-    mesh=None,
     dataset_mean: float = 0.0,
     dataset_std: float = 1.0,
     guidance_weight: float = 1.0,
     x0_clip: float = 2.0,
 ):
-    """Build ``step(state, teacher_params, batch, key) -> (state, loss)``.
+    """Build the un-jitted ``step(state, teacher_params, batch, key) ->
+    (state, loss)``.
 
     ``state`` holds the STUDENT (initialize it from the teacher's weights);
     ``teacher_params`` is the frozen ``{'unet':…, 'cond_proj':…}`` tree.
@@ -174,12 +174,91 @@ def make_distill_step(
         return TrainState(step=state.step + 1, params=params,
                           ema_params=ema_params, opt_state=opt_state), loss
 
+    return step_fn
+
+
+def make_distill_step(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    tx: optax.GradientTransformation,
+    num_student_steps: int,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+    guidance_weight: float = 1.0,
+    x0_clip: float = 2.0,
+):
+    """Jitted single distill step. ``teacher_params`` is argument 1 and is
+    NOT donated — keep it device-resident across calls (a host numpy tree
+    here re-marshals ~GBs per dispatch; measured as a page-fault storm that
+    made steps take minutes on the 1-core host)."""
+    step_fn = _distill_one_step(
+        denoiser, cond_proj, schedule, cfg, tx, num_student_steps,
+        dataset_mean=dataset_mean, dataset_std=dataset_std,
+        guidance_weight=guidance_weight, x0_clip=x0_clip,
+    )
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
     rep, bsh = replicated(mesh), batch_sharding(mesh)
     return jax.jit(
         step_fn,
         in_shardings=(rep, rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
+
+
+def make_device_data_multistep_distill(
+    denoiser,
+    cond_proj,
+    schedule: Schedule,
+    cfg: LM2AConfig,
+    tx: optax.GradientTransformation,
+    num_student_steps: int,
+    mesh=None,
+    dataset_mean: float = 0.0,
+    dataset_std: float = 1.0,
+    guidance_weight: float = 1.0,
+    x0_clip: float = 2.0,
+):
+    """K fused distill steps over a DEVICE-RESIDENT dataset.
+
+    ``fn(state, teacher_params, data, idx, base_key, offsets) ->
+    (state, losses)`` — the distillation analogue of
+    ``train_step.make_device_data_multistep``: ``data`` holds the packed
+    (N, T, ·) arrays uploaded to HBM once, ``idx`` is a (K, B) int32
+    row-index array (the only per-dispatch payload), ``offsets`` the (K,)
+    global-step vector folded into per-step keys. Each scanned step gathers
+    its batch with ``jnp.take`` on device and runs the IDENTICAL math to
+    ``make_distill_step``. ``state`` is donated; ``teacher_params`` and
+    ``data`` are not (they persist across dispatches)."""
+    one_step = _distill_one_step(
+        denoiser, cond_proj, schedule, cfg, tx, num_student_steps,
+        dataset_mean=dataset_mean, dataset_std=dataset_std,
+        guidance_weight=guidance_weight, x0_clip=x0_clip,
+    )
+    bsh = batch_sharding(mesh) if mesh is not None else None
+
+    def multi_fn(state, teacher_params, data, idx, base_key, offsets):
+        def body(st, inp):
+            idx_k, off = inp
+            batch = {k: jnp.take(v, idx_k, axis=0) for k, v in data.items()}
+            if bsh is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, bsh)
+                         for k, v in batch.items()}
+            return one_step(st, teacher_params, batch,
+                            jax.random.fold_in(base_key, off))
+
+        return jax.lax.scan(body, state, (idx, offsets))
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=0)
+    rep = replicated(mesh)
+    return jax.jit(
+        multi_fn,
+        in_shardings=(rep, rep, rep, rep, rep, rep),
         out_shardings=(rep, rep),
         donate_argnums=0,
     )

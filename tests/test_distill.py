@@ -101,3 +101,71 @@ class TestDistillStep:
         # repeating two alternating keys: the student should fit them
         assert min(losses[-2:]) < losses[0], losses
         assert int(student.step) == 8
+
+
+class TestDeviceDataMultistep:
+    def test_matches_sequential_single_step(self):
+        """The fused device-data path (scan + on-device gather) runs the
+        IDENTICAL math to make_distill_step with the same fold_in stream."""
+        from lm2a_tpu.training.distill import make_device_data_multistep_distill
+
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        sched = make_schedule(CFG.diffusion)
+        teacher_state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                            seq_len=T_MEL)
+        teacher_params = teacher_state.params
+        tx = make_optimizer(CFG)
+
+        rng = np.random.default_rng(11)
+        n_rows = 10
+        data = {
+            "mel": jnp.asarray(rng.normal(size=(n_rows, T_MEL, 80)),
+                               jnp.float32),
+            "motion": jnp.asarray(rng.normal(size=(n_rows, T_MEL, 12)),
+                                  jnp.float32),
+            "lyrics": jnp.asarray(rng.normal(size=(n_rows, T_MEL, 24)),
+                                  jnp.float32),
+        }
+        k, b = 3, 4
+        idx = rng.integers(0, n_rows, size=(k, b)).astype(np.int32)
+        offsets = np.arange(5, 5 + k, dtype=np.int32)
+        root = jax.random.key(42)
+
+        multi = make_device_data_multistep_distill(
+            den, proj, sched, CFG, tx, num_student_steps=5,
+            guidance_weight=2.1,
+        )
+        st_multi = jax.tree.map(jnp.copy, teacher_state)
+        st_multi, losses = multi(st_multi, teacher_params, data, idx, root,
+                                 offsets)
+
+        step = make_distill_step(
+            den, proj, sched, CFG, tx, num_student_steps=5,
+            guidance_weight=2.1,
+        )
+        st_seq = jax.tree.map(jnp.copy, teacher_state)
+        seq_losses = []
+        for i in range(k):
+            batch = {kk: v[idx[i]] for kk, v in data.items()}
+            st_seq, loss = step(st_seq, teacher_params, batch,
+                                jax.random.fold_in(root, offsets[i]))
+            seq_losses.append(float(loss))
+
+        np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=2e-5)
+        # scanned vs sequential compilations reassociate fp ops; Adan's
+        # rsqrt on tiny early second moments amplifies that, so compare
+        # with a loose absolute bound but require the updates themselves
+        # to be an order of magnitude larger (non-vacuous tolerance).
+        leaves_m = jax.tree.leaves(st_multi.params)
+        leaves_s = jax.tree.leaves(st_seq.params)
+        leaves_t = jax.tree.leaves(teacher_state.params)
+        moved = max(
+            float(np.abs(np.asarray(a) - np.asarray(t)).max())
+            for a, t in zip(leaves_s, leaves_t)
+        )
+        assert moved > 2e-3, moved
+        for a, b_ in zip(leaves_m, leaves_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-3)
+        assert int(st_multi.step) == int(st_seq.step)
