@@ -54,7 +54,10 @@ def main(args=None):
         restore_checkpoint,
         save_checkpoint,
     )
-    from lm2a_tpu.training.distill import make_distill_step
+    from lm2a_tpu.training.distill import (
+        make_distill_step,
+        stage_guidance_schedule,
+    )
     from lm2a_tpu.training.loop import _open_dataset
     from lm2a_tpu.training.train_step import init_train_state, make_optimizer
 
@@ -120,9 +123,23 @@ def main(args=None):
         }
         jax.block_until_ready(device_data)
 
-    for stage_n in stages:
-        print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps",
-              flush=True)
+    # If the teacher is itself a distilled student, its eps is ALREADY
+    # CFG-folded: every stage here must use w=1.0, and the saved metadata
+    # keeps the ORIGINAL folded weight so serving/eval report it correctly.
+    teacher_folded = float(meta.get("folded_guidance", 0.0) or 0.0)
+    if teacher_folded > 0.0:
+        if args.guidance != 1.0:
+            print(f"teacher already carries folded guidance "
+                  f"{teacher_folded}; ignoring --guidance {args.guidance}",
+                  flush=True)
+        effective_fold = teacher_folded
+        stage_gw = [1.0] * len(stages)
+    else:
+        effective_fold = args.guidance
+        stage_gw = stage_guidance_schedule(len(stages), args.guidance)
+    for stage_n, stage_guidance in zip(stages, stage_gw):
+        print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps,"
+              f" teacher guidance {stage_guidance}", flush=True)
         done = 0
         if device_data is not None:
             from lm2a_tpu.training.distill import (
@@ -132,7 +149,7 @@ def main(args=None):
             multi_fn = make_device_data_multistep_distill(
                 denoiser, cond_proj, schedule, cfg, tx,
                 num_student_steps=stage_n, dataset_mean=mean,
-                dataset_std=std, guidance_weight=args.guidance,
+                dataset_std=std, guidance_weight=stage_guidance,
             )
             n = len(ds)
             b = cfg.train.batch_size
@@ -152,7 +169,7 @@ def main(args=None):
             step_fn = make_distill_step(
                 denoiser, cond_proj, schedule, cfg, tx,
                 num_student_steps=stage_n, dataset_mean=mean,
-                dataset_std=std, guidance_weight=args.guidance,
+                dataset_std=std, guidance_weight=stage_guidance,
             )
             while done < args.steps_per_stage:
                 it = BatchIterator(ds, cfg.train.batch_size, shuffle=True,
@@ -176,7 +193,7 @@ def main(args=None):
             args.save_dir, state, cfg, epoch=0, dataset_mean=mean,
             dataset_std=std,
             extra={"distilled_steps": stage_n,
-                   "folded_guidance": args.guidance,
+                   "folded_guidance": effective_fold,
                    "teacher": args.teacher},
         )
         print(f"stage {stage_n} checkpoint: {path}")

@@ -38,6 +38,18 @@ from lm2a_tpu.diffusion.schedule import Schedule
 from lm2a_tpu.training.train_step import TrainState
 
 
+def stage_guidance_schedule(num_stages: int, guidance: float):
+    """Per-stage teacher CFG weights for progressive distillation.
+
+    The fold happens exactly ONCE: stage 0's teacher is the original model,
+    sampled with ``guidance``; every later stage's teacher is the previous
+    stage's student, whose eps is ALREADY guided, so re-applying w > 1
+    there double-guides and biases the output (measured before the fix:
+    +1.1 sigma mean_error on a stage-2 student vs +0.2 on stage 1).
+    """
+    return [guidance if i == 0 else 1.0 for i in range(num_stages)]
+
+
 def student_time_grid(timesteps: int, num_student_steps: int):
     """(ts, ts_prev, ts_mid): the student's DDIM grid over the teacher
     schedule — identical rounding to ``ddim_sample`` — plus the teacher's

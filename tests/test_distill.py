@@ -169,3 +169,16 @@ class TestDeviceDataMultistep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=1e-3)
         assert int(st_multi.step) == int(st_seq.step)
+
+
+class TestStageGuidance:
+    def test_cfg_folded_exactly_once(self):
+        """Stage 0 folds the CFG weight; every later stage's teacher is the
+        already-guided previous student, so re-applying w > 1 would
+        double-guide (regression: biased stage-2 students)."""
+        from lm2a_tpu.training.distill import stage_guidance_schedule
+
+        assert stage_guidance_schedule(1, 2.1) == [2.1]
+        assert stage_guidance_schedule(3, 2.1) == [2.1, 1.0, 1.0]
+        # no guidance requested -> plain conditional teacher throughout
+        assert stage_guidance_schedule(2, 1.0) == [1.0, 1.0]
