@@ -60,6 +60,18 @@ def build_parser(p=None):
                         "dispatch only batch indices (needs steps_per_call>1)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(or LM2A_COORDINATOR env); enables "
+                        "jax.distributed.initialize")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's id")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="model-axis size of the mesh (tensor/sequence "
+                        "parallel width); must divide the local device "
+                        "count on multi-host runs")
     return p
 
 
@@ -113,8 +125,25 @@ def config_from_args(args):
 def main(args=None):
     args = build_parser().parse_args(args)
     cfg = config_from_args(args)
+    # join the multi-process runtime BEFORE any jax device use
+    from lm2a_tpu.core.distributed import init_distributed, make_hybrid_mesh
+
+    distributed = init_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
     from lm2a_tpu.training import train
 
+    import jax
+
+    if distributed:
+        print(f"process {jax.process_index()}/{jax.process_count()}: "
+              f"{jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+    mesh = (
+        make_hybrid_mesh(model=args.model_parallel)
+        if distributed or args.model_parallel > 1
+        else None
+    )
     print("train config:", cfg)
     res = train(
         cfg, args.npz_dir, args.save_dir,
@@ -122,6 +151,7 @@ def main(args=None):
         dataset_mean=args.dataset_mean, dataset_std=args.dataset_std,
         resume=args.resume, max_steps=args.max_steps,
         use_tensorboard=not args.no_tensorboard,
+        mesh=mesh,
     )
     print(f"training done: step={res.final_step} loss={res.final_loss:.6f} "
           f"checkpoints in {res.ckpt_dir}")

@@ -74,8 +74,23 @@ def train(
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (20, 30),
 ) -> TrainResult:
-    mesh = mesh if mesh is not None else make_mesh()
+    multihost = jax.process_count() > 1
+    if mesh is None:
+        if multihost:
+            from lm2a_tpu.core.distributed import make_hybrid_mesh
+
+            mesh = make_hybrid_mesh()
+        else:
+            mesh = make_mesh()
     tc = cfg.train
+    if multihost and (tc.steps_per_call > 1 or tc.device_data):
+        # the fused-dispatch / device-resident modes exist to hide
+        # PER-DISPATCH overhead on a single host behind a slow link; on a
+        # pod the standard prefetched path is already compute-bound
+        raise NotImplementedError(
+            "steps_per_call>1 / --device_data are single-process modes; "
+            "multi-host runs use the standard prefetched path"
+        )
 
     denoiser = build_denoiser(cfg.model, tc.compute_dtype)
     cond_proj = build_cond_projection(cfg.model, tc.compute_dtype)
@@ -108,6 +123,14 @@ def train(
             dataset_mean = float(meta.get("dataset_mean", dataset_mean))
             dataset_std = float(meta.get("dataset_std", dataset_std))
             print(f"resumed from {path} at step {int(state.step)}")
+
+    if multihost:
+        # every process built the same state from the same seed (and/or
+        # restored the same checkpoint file); promote it to one global
+        # replicated array so the sharded step sees a single jax.Array
+        from lm2a_tpu.core.distributed import put_replicated
+
+        state = put_replicated(mesh, state)
 
     train_step = make_train_step(
         denoiser, cond_proj, schedule, cfg, tx, mesh=mesh,
@@ -169,7 +192,14 @@ def train(
     )
     lr_fn = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
 
-    logger = TrainLogger(save_dir, use_tensorboard=use_tensorboard)
+    from lm2a_tpu.core.distributed import barrier, is_primary
+
+    if is_primary():
+        logger = TrainLogger(save_dir, use_tensorboard=use_tensorboard)
+    else:
+        from lm2a_tpu.utils.logging import NullLogger
+
+        logger = NullLogger()
     root_key = jax.random.key(tc.seed + 1)
     timer = StepTimer(report_every=max(tc.log_interval * 10, 100))
 
@@ -180,13 +210,36 @@ def train(
 
     def ckpt(epoch):
         # async_write: only the device->host fetch blocks the loop; the
-        # CPU-bound archive write + pruning happen on a background thread
-        path = save_checkpoint(
-            save_dir, state, cfg, epoch=epoch,
-            dataset_mean=dataset_mean, dataset_std=dataset_std,
-            keep_last=tc.keep_checkpoints, async_write=True,
+        # CPU-bound archive write + pruning happen on a background thread.
+        # Multi-host: state is replicated, so the primary's addressable
+        # shards are the whole tree — only it writes; the barrier keeps
+        # secondaries from racing ahead into a kill/resume window.
+        if is_primary():
+            path = save_checkpoint(
+                save_dir, state, cfg, epoch=epoch,
+                dataset_mean=dataset_mean, dataset_std=dataset_std,
+                keep_last=tc.keep_checkpoints, async_write=True,
+            )
+            print("saved checkpoint:", path)
+        barrier("ckpt")
+
+    mh_put = None
+    if multihost:
+        # each process loads the full seed-identical global batch, keeps
+        # the contiguous rows its devices own, and assembles the global
+        # sharded array — the DCN data-axis recipe from docs/SCALING.md
+        from lm2a_tpu.core.distributed import (
+            local_batch_slice,
+            put_global_batch,
         )
-        print("saved checkpoint:", path)
+
+        _sl = local_batch_slice(mesh, tc.batch_size)
+
+        def mh_put(batch):
+            return put_global_batch(
+                mesh,
+                {k: np.ascontiguousarray(v[_sl]) for k, v in batch.items()},
+            )
 
     k_fuse = max(1, tc.steps_per_call) if multistep is not None else 1
     put_tagged = None
@@ -280,7 +333,7 @@ def train(
                     break
         else:
             it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
-            for batch in device_prefetch(it, mesh=mesh):
+            for batch in device_prefetch(it, mesh=mesh, put_fn=mh_put):
                 if profile_dir is not None and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 step_key = jax.random.fold_in(root_key, step)
@@ -327,7 +380,8 @@ def train(
             else:
                 vlosses = []
                 vit = BatchIterator(val_ds, tc.batch_size, shuffle=False)
-                for i, vbatch in enumerate(device_prefetch(vit, mesh=mesh)):
+                for i, vbatch in enumerate(
+                        device_prefetch(vit, mesh=mesh, put_fn=mh_put)):
                     if tc.val_cap_batches and i >= tc.val_cap_batches:
                         break
                     vkey = jax.random.fold_in(root_key, 10_000_000 + step + i)

@@ -62,3 +62,18 @@ class TrainLogger:
         self._csv_file.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """No-op logger for non-primary processes in multi-host runs: exactly
+    one process may own the CSV/TensorBoard files (concurrent appends from
+    several processes interleave rows)."""
+
+    def log_step(self, epoch, step, loss, lr) -> None:
+        pass
+
+    def log_epoch(self, epoch, step, train_loss, val_loss, seconds) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
