@@ -60,6 +60,12 @@ def build_parser(p=None):
                         "dispatch only batch indices (needs steps_per_call>1)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--quality_every_epochs", type=int, default=0,
+                   help="every N epochs, DDIM-generate fixed val clips from "
+                        "the EMA weights and log mel metrics (0 = off)")
+    p.add_argument("--quality_clips", type=int, default=4)
+    p.add_argument("--quality_steps", type=int, default=50)
+    p.add_argument("--quality_guidance", type=float, default=2.1)
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port "
                         "(or LM2A_COORDINATOR env); enables "
@@ -118,6 +124,10 @@ def config_from_args(args):
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
             device_data=args.device_data,
+            quality_every_epochs=args.quality_every_epochs,
+            quality_clips=args.quality_clips,
+            quality_steps=args.quality_steps,
+            quality_guidance=args.quality_guidance,
         ),
     )
 

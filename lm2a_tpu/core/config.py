@@ -105,6 +105,13 @@ class TrainConfig:
     # upload the packed dataset to HBM once and dispatch only batch indices
     # (needs steps_per_call > 1 and a packed dataset that fits device memory)
     device_data: bool = False
+    # on-the-fly quality telemetry: every N epochs, DDIM-generate fixed
+    # validation clips from the EMA weights and log mel metrics
+    # (0 = off; framework extension, the reference measures only post-hoc)
+    quality_every_epochs: int = 0
+    quality_clips: int = 4
+    quality_steps: int = 50
+    quality_guidance: float = 2.1
 
 
 @dataclass(frozen=True)

@@ -190,6 +190,16 @@ def train(
         denoiser, cond_proj, schedule, cfg, mesh=mesh,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
     )
+    quality = None
+    if tc.quality_every_epochs and val_ds is not None:
+        from lm2a_tpu.training.quality import QualityMonitor
+
+        quality = QualityMonitor(
+            denoiser, cond_proj, schedule, val_ds,
+            n_clips=tc.quality_clips, num_steps=tc.quality_steps,
+            guidance=tc.quality_guidance, dataset_mean=dataset_mean,
+            dataset_std=dataset_std, mesh=mesh, seed=tc.seed,
+        )
     lr_fn = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
 
     from lm2a_tpu.core.distributed import barrier, is_primary
@@ -389,6 +399,10 @@ def train(
                 if vlosses:
                     val_loss = float(np.mean(jax.device_get(vlosses)))
                     print(f"epoch {epoch} val loss: {val_loss:.6f} ({len(vlosses)} batches)")
+
+        if (quality is not None and not stop
+                and (epoch + 1) % tc.quality_every_epochs == 0):
+            logger.log_quality(epoch, step, quality.run(state.ema_params))
 
         if pending_loss is not None:
             last_loss = float(jax.device_get(pending_loss))

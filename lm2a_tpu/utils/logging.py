@@ -58,6 +58,22 @@ class TrainLogger:
         self._csv.writerow([epoch, step, train_loss, val_loss, round(seconds, 2)])
         self._csv_file.flush()
 
+    def log_quality(self, epoch: int, step: int, metrics) -> None:
+        """Periodic sample-quality probe (see ``training/quality.py``).
+        Goes to its own CSV (different columns) + ``quality/*`` TB tags."""
+        msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(f"epoch {epoch} quality: {msg}")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"quality/{k}", v, step)
+        path = os.path.join(self.save_dir, "quality_log.csv")
+        new = not os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["epoch", "step"] + list(metrics))
+            w.writerow([epoch, step] + [float(v) for v in metrics.values()])
+
     def close(self) -> None:
         self._csv_file.close()
         if self._tb is not None:
@@ -73,6 +89,9 @@ class NullLogger:
         pass
 
     def log_epoch(self, epoch, step, train_loss, val_loss, seconds) -> None:
+        pass
+
+    def log_quality(self, epoch, step, metrics) -> None:
         pass
 
     def close(self) -> None:

@@ -79,3 +79,30 @@ def test_train_loop_and_resume(npz_dirs, tmp_path):
         mesh=mesh, resume=True, use_tensorboard=False,
     )
     assert res2.final_step == 6  # resumed at epoch 2, ran 1 more epoch
+
+
+def test_quality_telemetry(npz_dirs, tmp_path):
+    """quality_every_epochs generates fixed val clips from EMA weights and
+    writes a quality_log.csv with the mel metric columns."""
+    import csv
+    import dataclasses
+
+    train_dir, val_dir = npz_dirs
+    save_dir = str(tmp_path / "runq")
+    cfg = dataclasses.replace(
+        CFG,
+        train=dataclasses.replace(
+            CFG.train, epochs=1, quality_every_epochs=1, quality_clips=2,
+            quality_steps=4, quality_guidance=2.1,
+        ),
+    )
+    mesh = make_mesh(devices=make_mesh().devices.ravel()[:4])
+    train(cfg, train_dir, save_dir, val_npz_dir=val_dir, mesh=mesh,
+          dataset_mean=0.0, dataset_std=1.0, use_tensorboard=False)
+    path = os.path.join(save_dir, "quality_log.csv")
+    assert os.path.exists(path)
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    for k in ("mse", "ssim", "avg_cos_sim", "snr"):
+        assert k in rows[0] and np.isfinite(float(rows[0][k])), rows[0]
