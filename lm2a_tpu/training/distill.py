@@ -161,7 +161,6 @@ def _distill_one_step(
         x0_tgt = (x_tgt - (s_pp / s_t) * x_t) / jnp.where(
             jnp.abs(denom) < 1e-6, 1e-6, denom
         )
-        eps_tgt = (x_t - a_t * x0_tgt) / s_t
 
         # student predicts conditional eps directly (guidance folded in)
         def student_model(xx, tt, m, l, **kw):
@@ -171,7 +170,19 @@ def _distill_one_step(
             )
 
         eps_student = student_model(x_t, t, motion_s, text_s).astype(jnp.float32)
-        return jnp.mean((eps_student - jax.lax.stop_gradient(eps_tgt)) ** 2)
+        # Regress in x0 space with truncated-SNR weighting (Salimans & Ho
+        # 2022): plain eps-MSE weights the x0-space error by SNR(t), which
+        # is ~4e-5 at t~T — exactly the steps that set a generation's
+        # coarse structure from pure noise are near-unsupervised, and
+        # students came out mean-biased (+1.1 sigma measured). w =
+        # max(SNR, 1) floors the x0 weight at 1 there while staying
+        # equal to eps-MSE for SNR > 1.
+        x0_student = (x_t - s_t * eps_student) / a_t
+        snr = (a_t * a_t) / (s_t * s_t)
+        w = jnp.maximum(snr, 1.0)
+        return jnp.mean(
+            w * (x0_student - jax.lax.stop_gradient(x0_tgt)) ** 2
+        )
 
     def step_fn(state: TrainState, teacher_params, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -165,9 +165,13 @@ class TestDeviceDataMultistep:
             for a, t in zip(leaves_s, leaves_t)
         )
         assert moved > 2e-3, moved
+        # tolerance scales with how far the optimizer moved: the truncated
+        # -SNR loss makes early gradients (hence reassociation drift)
+        # larger, but the two dispatch modes must stay within a few % of
+        # the update magnitude
         for a, b_ in zip(leaves_m, leaves_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                       atol=1e-3)
+                                       atol=max(1e-3, 0.03 * moved))
         assert int(st_multi.step) == int(st_seq.step)
 
 
