@@ -268,6 +268,111 @@ def superbatch_iterator(
             }
 
 
+class SuperbatchStream:
+    """Cross-epoch pipelined superbatch source for the fused K-step mode.
+
+    Same per-epoch batch stream as :func:`superbatch_iterator` (identical
+    seeded permutations), but the stream object outlives epochs: up to
+    ``depth`` group gathers stay queued in the native C++ worker AT ALL
+    TIMES, including across epoch boundaries — while the tail of epoch e
+    trains (and while validation/checkpointing run between epochs), the
+    first groups of epoch e+1 are already being assembled. Previously
+    every epoch started with a cold synchronous gather.
+
+    Falls back to :func:`superbatch_iterator` when the dataset has no
+    native gatherer (no readahead, same batches).
+    """
+
+    def __init__(self, dataset, batch_size: int, k: int, base_seed: int = 0,
+                 shuffle: bool = True, total_epochs: Optional[int] = None,
+                 start_epoch: int = 0, depth: int = 2):
+        self.ds = dataset
+        self.bs = batch_size
+        self.k = k
+        self.base_seed = base_seed
+        self.shuffle = shuffle
+        self.total_epochs = total_epochs
+        self.depth = depth
+        self.native = getattr(dataset, "native", None)
+        n = len(dataset)
+        self.group = batch_size * k
+        self.n_groups = n // self.group
+        self._orders: Dict[int, np.ndarray] = {}
+        # next (epoch, group) the native queue should gather
+        self._cursor: Optional[tuple] = (
+            (start_epoch, 0) if self.n_groups else None
+        )
+        self._next_epoch = start_epoch
+
+    def _order(self, epoch: int) -> np.ndarray:
+        if epoch not in self._orders:
+            order = np.arange(len(self.ds))
+            if self.shuffle:
+                np.random.default_rng(self.base_seed + epoch).shuffle(order)
+            # keep only the frontier epochs cached
+            for e in [e for e in self._orders if e < epoch - 1]:
+                del self._orders[e]
+            self._orders[epoch] = order
+        return self._orders[epoch]
+
+    def _advance_cursor(self):
+        e, g = self._cursor
+        g += 1
+        if g >= self.n_groups:
+            e, g = e + 1, 0
+        self._cursor = None if (
+            self.total_epochs is not None and e >= self.total_epochs
+        ) else (e, g)
+
+    def _fill_queue(self):
+        while (self._cursor is not None
+               and self.native.pending < self.depth):
+            e, g = self._cursor
+            order = self._order(e)
+            self.native.submit(order[g * self.group:(g + 1) * self.group])
+            self._advance_cursor()
+
+    def epoch(self, epoch: int) -> Iterator[tuple]:
+        """Yield epoch ``epoch``'s ("multi"/"single", batch) stream.
+
+        Epochs must be consumed in order and to exhaustion (the queue
+        gathers ahead on that assumption); an abandoned stream leaves
+        queued batches that the next full consumer would mis-attribute,
+        so only abandon on termination (the gathers land in
+        C++-owned-by-us buffers and are drained at close).
+        """
+        if epoch != self._next_epoch:
+            raise ValueError(
+                f"epochs must be consumed in order: expected "
+                f"{self._next_epoch}, got {epoch}"
+            )
+        self._next_epoch = epoch + 1
+        order = self._order(epoch)
+        bs, group = self.bs, self.group
+        n = len(self.ds)
+        k = self.k
+
+        def reshape_multi(flat):
+            return {
+                key: flat[key].reshape((k, bs) + flat[key].shape[1:])
+                for key in ("mel", "motion", "lyrics")
+            }
+
+        if self.native is not None and self.n_groups:
+            self._fill_queue()
+            for _ in range(self.n_groups):
+                flat = self.native.wait()
+                self._fill_queue()
+                yield "multi", reshape_multi(flat)
+            for start in range(self.n_groups * group, n - bs + 1, bs):
+                yield "single", self.ds.gather(order[start:start + bs])
+        else:
+            yield from superbatch_iterator(
+                self.ds, bs, k, shuffle=self.shuffle,
+                seed=self.base_seed + epoch,
+            )
+
+
 def device_prefetch(iterator, mesh=None, depth: int = 2, put_fn=None):
     """Overlap host->device transfer with compute.
 

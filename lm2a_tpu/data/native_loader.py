@@ -8,6 +8,7 @@ dependency.
 
 from __future__ import annotations
 
+import collections
 import ctypes
 import os
 import subprocess
@@ -81,8 +82,10 @@ def native_available() -> bool:
 class NativeGather:
     """Batch gatherer over a packed split directory (mel/motion/lyrics.npy).
 
-    ``gather(idx)`` is synchronous; ``submit(idx)`` + ``wait()`` overlap the
-    next batch's assembly with computation (one request in flight).
+    ``gather(idx)`` is synchronous; ``submit(idx)`` + ``wait()`` overlap
+    batch assembly with computation. Up to 4 requests may be queued
+    (FIFO); ``wait()`` returns the oldest submitted batch, so readahead
+    can cross epoch boundaries.
     """
 
     def __init__(self, pack_dir: str):
@@ -104,7 +107,12 @@ class NativeGather:
         for k in ("mel", "motion", "lyrics"):
             arr = np.load(os.path.join(pack_dir, f"{k}.npy"), mmap_mode="r")
             self.shapes[k] = tuple(arr.shape[1:])
-        self._pending = None
+        self._pending = collections.deque()
+
+    @property
+    def pending(self) -> int:
+        """Number of submitted-but-not-waited requests."""
+        return len(self._pending)
 
     def _alloc(self, n: int) -> Dict[str, np.ndarray]:
         return {
@@ -137,21 +145,22 @@ class NativeGather:
         )
         if rc != 0:
             raise RuntimeError(f"native submit failed (rc={rc})")
-        self._pending = (idx, out)  # keep buffers alive while worker fills them
+        self._pending.append((idx, out))  # keep buffers alive for the worker
 
     def wait(self) -> Dict[str, np.ndarray]:
-        if self._pending is None:
+        """Return the OLDEST submitted batch (FIFO), blocking until its
+        gather has fully completed."""
+        if not self._pending:
             raise RuntimeError("no submitted request")
         self._lib.lm2a_loader_wait(self._h)
-        _, out = self._pending
-        self._pending = None
+        _, out = self._pending.popleft()
         return out
 
     def close(self) -> None:
         if self._h:
-            if self._pending is not None:
+            while self._pending:
                 self._lib.lm2a_loader_wait(self._h)
-                self._pending = None
+                self._pending.popleft()
             self._lib.lm2a_loader_close(self._h)
             self._h = None
 

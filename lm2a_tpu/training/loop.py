@@ -26,7 +26,6 @@ from lm2a_tpu.data.dataset import (
     PackedDataset,
     compute_dataset_stats,
     device_prefetch,
-    superbatch_iterator,
     PACK_META,
 )
 from lm2a_tpu.diffusion.schedule import make_schedule
@@ -253,6 +252,14 @@ def train(
 
     k_fuse = max(1, tc.steps_per_call) if multistep is not None else 1
     put_tagged = None
+    sb_stream = None
+    if k_fuse > 1 and devdata_step is None:
+        from lm2a_tpu.data.dataset import SuperbatchStream
+
+        sb_stream = SuperbatchStream(
+            ds, tc.batch_size, k_fuse, base_seed=tc.seed,
+            total_epochs=tc.epochs, start_epoch=start_epoch,
+        )
     if k_fuse > 1:
         # fused mode staging: superbatches (K, B, T, .) shard the SECOND axis
         # over the data mesh; tail single batches shard the first.
@@ -315,11 +322,10 @@ def train(
                         stop = True
                         break
         elif k_fuse > 1:
-            # fast path: k*bs-row native gathers, double-buffered in C++,
-            # device-prefetched as one host->device transfer per dispatch
-            stream = superbatch_iterator(
-                ds, tc.batch_size, k_fuse, shuffle=True, seed=tc.seed + epoch
-            )
+            # fast path: k*bs-row native gathers queued in C++ (readahead
+            # crosses epoch boundaries), device-prefetched as one
+            # host->device transfer per dispatch
+            stream = sb_stream.epoch(epoch)
             for tag, batch in device_prefetch(stream, put_fn=put_tagged):
                 if tag == "multi":
                     offsets = np.arange(step, step + k_fuse, dtype=np.int32)

@@ -9,8 +9,10 @@
 //   - mmap'ed zero-copy source arrays (no per-epoch decompression),
 //   - row gathers done by a C++ worker thread (no GIL, overlaps with the
 //     jitted train step and the host->device transfer),
-//   - a submit/wait double-buffer API so batch k+1 is being gathered while
-//     batch k trains.
+//   - a submit/wait FIFO queue (up to kMaxQueue requests in flight) so
+//     batch k+1 is being gathered while batch k trains AND the next
+//     epoch's first group can be queued across the epoch boundary
+//     (validation/checkpoint time becomes gather time).
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
@@ -21,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -116,15 +119,20 @@ struct Request {
 struct Loader {
   NpyArray mel, motion, lyrics;
 
-  // async worker state
+  // async worker state: a FIFO of queued requests plus completion
+  // counters. A request is "done" only after its gather has fully landed
+  // in the caller's buffers (the round-1 torn-batch race was exactly a
+  // completion signal that fired at dequeue time instead).
+  static constexpr size_t kMaxQueue = 4;  // queued + in-flight cap
   std::thread worker;
   std::mutex mu;
   std::condition_variable cv;
-  bool has_request = false;  // a request is queued, worker not started on it
-  bool busy = false;         // worker is actively gathering into the buffers
-  bool request_done = false;
+  std::deque<Request> queue;
+  bool busy = false;  // worker is actively gathering into the buffers
   bool shutdown = false;
-  Request req;
+  uint64_t submitted = 0;  // requests accepted by submit()
+  uint64_t completed = 0;  // requests whose copy has fully landed
+  uint64_t consumed = 0;   // completions handed back through wait()
 
   void gather(const std::vector<int64_t>& idx, float* mel_out,
               float* motion_out, float* lyrics_out) const {
@@ -150,19 +158,18 @@ struct Loader {
   void worker_loop() {
     std::unique_lock<std::mutex> lk(mu);
     while (true) {
-      cv.wait(lk, [this] { return has_request || shutdown; });
+      cv.wait(lk, [this] { return !queue.empty() || shutdown; });
       if (shutdown) return;
-      Request r = std::move(req);
-      // `busy` stays true (and `request_done` false) until the copy below
-      // has fully landed in the caller's buffers; clearing has_request alone
-      // here previously let wait() return mid-gather (torn batches).
-      has_request = false;
+      Request r = std::move(queue.front());
+      queue.pop_front();
+      // `busy` stays true (and `completed` unincremented) until the copy
+      // below has fully landed in the caller's buffers.
       busy = true;
       lk.unlock();
       gather(r.idx, r.mel, r.motion, r.lyrics);
       lk.lock();
       busy = false;
-      request_done = true;
+      ++completed;
       cv.notify_all();
     }
   }
@@ -211,27 +218,31 @@ int lm2a_loader_gather(void* handle, const int64_t* idx, int64_t n,
   return 0;
 }
 
-// asynchronous gather: submit fills the given buffers on the worker thread
+// asynchronous gather: submit queues a fill of the given buffers on the
+// worker thread; up to kMaxQueue requests may be outstanding (-2 when full)
 int lm2a_loader_submit(void* handle, const int64_t* idx, int64_t n,
                        float* mel_out, float* motion_out, float* lyrics_out) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
-  if (l->has_request || l->busy) return -2;  // one in flight max
+  if (l->queue.size() + (l->busy ? 1 : 0) >= Loader::kMaxQueue) return -2;
   for (int64_t i = 0; i < n; ++i)
     if (idx[i] < 0 || idx[i] >= l->mel.rows) return -1;
-  l->req = Request{std::vector<int64_t>(idx, idx + n), mel_out, motion_out,
-                   lyrics_out};
-  l->has_request = true;
-  l->request_done = false;
+  l->queue.push_back(Request{std::vector<int64_t>(idx, idx + n), mel_out,
+                             motion_out, lyrics_out});
+  ++l->submitted;
   l->cv.notify_all();
   return 0;
 }
 
+// Block until the OLDEST not-yet-waited request has fully completed
+// (requests complete in submission order). No-op when nothing is pending.
 int lm2a_loader_wait(void* handle) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
-  // Complete only when no request is queued AND the worker is not mid-copy.
-  l->cv.wait(lk, [l] { return !l->has_request && !l->busy; });
+  if (l->consumed >= l->submitted) return 0;
+  uint64_t target = l->consumed + 1;
+  l->cv.wait(lk, [l, target] { return l->completed >= target; });
+  ++l->consumed;
   return 0;
 }
 

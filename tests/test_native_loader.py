@@ -98,17 +98,37 @@ class TestNativeGather:
         finally:
             ng.close()
 
-    def test_submit_while_busy_rejected(self, pack_dir, monkeypatch):
-        """A second submit during an in-flight gather must return busy (-2)."""
+    def test_queue_fifo_and_capacity(self, pack_dir, monkeypatch):
+        """Up to 4 requests queue; the 5th is rejected (-2); wait() returns
+        batches in submission order with correct contents."""
         monkeypatch.setenv("LM2A_LOADER_TEST_DELAY_US", "50000")
         ng = NativeGather(pack_dir)
+        ds = PackedDataset(pack_dir, use_native=False)
         try:
-            ng.submit(np.array([0, 1]))
+            batches = [np.array([i, (i + 1) % 10]) for i in range(4)]
+            for b in batches:
+                ng.submit(b)
             with pytest.raises(RuntimeError, match="-2"):
-                ng.submit(np.array([2, 3]))
+                ng.submit(np.array([8, 9]))
+            assert ng.pending == 4
+            for b in batches:
+                got = ng.wait()
+                want = ds.gather(b)
+                for k in ("mel", "motion", "lyrics"):
+                    np.testing.assert_array_equal(got[k], want[k])
+            assert ng.pending == 0
+            # queue drained: capacity available again
+            ng.submit(np.array([5]))
             ng.wait()
         finally:
             ng.close()
+
+    def test_close_drains_queue(self, pack_dir, monkeypatch):
+        monkeypatch.setenv("LM2A_LOADER_TEST_DELAY_US", "20000")
+        ng = NativeGather(pack_dir)
+        ng.submit(np.array([0, 1]))
+        ng.submit(np.array([2, 3]))
+        ng.close()  # must not crash or leak the in-flight copies
 
     def test_out_of_range_rejected(self, pack_dir):
         ng = NativeGather(pack_dir)
@@ -126,3 +146,45 @@ class TestNativeGather:
         for ba, bb in zip(a, b):
             for k in ("mel", "motion", "lyrics"):
                 np.testing.assert_array_equal(ba[k], bb[k])
+
+
+class TestSuperbatchStream:
+    def test_matches_superbatch_iterator_across_epochs(self, pack_dir):
+        """Cross-epoch readahead must yield the exact per-epoch stream the
+        plain iterator produces (same seeded permutations)."""
+        from lm2a_tpu.data.dataset import SuperbatchStream, superbatch_iterator
+
+        ds_native = PackedDataset(pack_dir, use_native=True)
+        ds_numpy = PackedDataset(pack_dir, use_native=False)
+        stream = SuperbatchStream(ds_native, batch_size=2, k=2, base_seed=5,
+                                  total_epochs=3)
+        for epoch in range(3):
+            got = list(stream.epoch(epoch))
+            want = list(superbatch_iterator(ds_numpy, 2, 2, shuffle=True,
+                                            seed=5 + epoch))
+            assert [t for t, _ in got] == [t for t, _ in want]
+            for (_, a), (_, b) in zip(got, want):
+                for k in ("mel", "motion", "lyrics"):
+                    np.testing.assert_array_equal(a[k], b[k])
+
+    def test_readahead_crosses_epoch_boundary(self, pack_dir):
+        """After finishing epoch 0, the next epoch's first groups are
+        already queued in the native worker."""
+        from lm2a_tpu.data.dataset import SuperbatchStream
+
+        ds = PackedDataset(pack_dir, use_native=True)
+        stream = SuperbatchStream(ds, batch_size=2, k=2, base_seed=1,
+                                  total_epochs=2)
+        list(stream.epoch(0))
+        assert ds.native.pending > 0  # epoch 1 groups gathering already
+        list(stream.epoch(1))
+        assert ds.native.pending == 0  # total_epochs bound respected
+
+    def test_epochs_must_be_sequential(self, pack_dir):
+        from lm2a_tpu.data.dataset import SuperbatchStream
+
+        ds = PackedDataset(pack_dir, use_native=True)
+        stream = SuperbatchStream(ds, batch_size=2, k=2, total_epochs=4)
+        list(stream.epoch(0))
+        with pytest.raises(ValueError, match="in order"):
+            list(stream.epoch(2))
