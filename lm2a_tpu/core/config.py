@@ -60,6 +60,10 @@ class ModelConfig:
     # Route attention cores through the Pallas flash kernel (VMEM-resident
     # scores); numerically equivalent to the XLA path within fp tolerance.
     fused_attention: bool = False
+    # Serving-only fused resblock kernel (ops/pallas_resblock.py): the whole
+    # GN+SiLU+conv3+FiLM+GN+SiLU+conv3 chain in one Pallas call per block.
+    # Inert during init/training (those keep the XLA path).
+    fused_resblock: bool = False
     # Rematerialize residual blocks in the backward pass (activation-memory
     # vs FLOPs trade; use for larger batches or longer sequences).
     remat: bool = False

@@ -27,6 +27,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             dropout=cfg.dropout,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
+            fused_resblock=cfg.fused_resblock,
             remat=cfg.remat,
         )
     if cfg.arch == "v1":

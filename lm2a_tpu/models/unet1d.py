@@ -106,11 +106,62 @@ class ResBlockUltimate(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # Serving-only: run GN+SiLU+conv3+FiLM+GN+SiLU+conv3 (+1x1 skip) as one
+    # Pallas kernel (ops/pallas_resblock.py). Engages only when bound params
+    # exist (apply, not init) and deterministic=True; training and oversized
+    # geometries keep the XLA path.
+    fused_resblock: bool = False
+
+    def _fused_chain(self, x, t_emb):
+        """Fused conv-chain forward, or None when the kernel declines."""
+        from lm2a_tpu.ops.pallas_resblock import fused_resblock_chain
+
+        p = self.variables["params"]
+        if "film" not in p:
+            return None  # t_emb-less call: stay on the XLA path
+        in_ch = x.shape[-1]
+        dt = self.dtype
+        # FiLM vectors, same dtype math as the FiLM module's Dense
+        fk = p["film"]["to_scale_shift"]["kernel"].astype(dt)
+        fb = p["film"]["to_scale_shift"]["bias"].astype(dt)
+        stats = nn.silu(t_emb.astype(dt)) @ fk + fb
+        scale, shift = jnp.split(stats, 2, axis=-1)
+        has_skip = in_ch != self.out_channels
+        return fused_resblock_chain(
+            x.astype(dt),
+            p["gn1"]["scale"], p["gn1"]["bias"],
+            p["conv1"]["kernel"], p["conv1"]["bias"],
+            scale, shift,
+            p["gn2"]["scale"], p["gn2"]["bias"],
+            p["conv2"]["kernel"], p["conv2"]["bias"],
+            p["skip"]["kernel"][0] if has_skip else None,
+            p["skip"]["bias"] if has_skip else None,
+            groups1=default_num_groups(in_ch),
+            groups2=default_num_groups(self.out_channels),
+            add_residual=not self.use_attn,
+        )
 
     @nn.compact
     def __call__(self, x, t_emb, motion_f=None, text_f=None, deterministic=True,
                  uncond_rows=0):
         in_ch = x.shape[-1]
+
+        fused = None
+        if (
+            self.fused_resblock
+            and deterministic
+            and t_emb is not None
+            and not self.is_initializing()
+        ):
+            fused = self._fused_chain(x, t_emb)
+        if fused is not None:
+            if not self.use_attn:
+                return fused  # residual already added in-kernel
+            # pre-attention variant: h to attend, xs to add afterwards
+            h, x = (fused if in_ch != self.out_channels
+                    else (fused, x.astype(self.dtype)))
+            return self._attend_and_add(h, x, motion_f, text_f, uncond_rows)
+
         h = _group_norm(in_ch, self.dtype, "gn1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3,), padding="SAME", dtype=self.dtype, name="conv1")(h)
@@ -125,35 +176,43 @@ class ResBlockUltimate(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
         if self.use_attn and motion_f is not None and text_f is not None:
-            attn = CrossAttentionFusion(
-                mel_dim=self.out_channels,
-                cond_dim=self.cond_dim,
-                num_heads=self.num_heads,
-                dtype=self.dtype,
-                fused=self.fused_attention,
-                name="cross_attn",
-            )
-            if uncond_rows:
-                bu, t_len = uncond_rows, h.shape[1]
-                # same module instance -> shared params; (1,1) shapes make the
-                # constant: uniform softmax over one bias-valued K/V row
-                const = attn(
-                    jnp.zeros((1, 1, self.out_channels), h.dtype),
-                    jnp.zeros((1, 1, motion_f.shape[-1]), motion_f.dtype),
-                    jnp.zeros((1, 1, text_f.shape[-1]), text_f.dtype),
-                )
-                h_cond = attn(h[bu:], motion_f[bu:], text_f[bu:])
-                h = jnp.concatenate(
-                    [jnp.broadcast_to(const, (bu, t_len, self.out_channels)),
-                     h_cond],
-                    axis=0,
-                )
-            else:
-                h = attn(h, motion_f, text_f)
+            h = self._attention(h, motion_f, text_f, uncond_rows)
 
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1,), dtype=self.dtype, name="skip")(x)
         return x + h
+
+    def _attention(self, h, motion_f, text_f, uncond_rows):
+        attn = CrossAttentionFusion(
+            mel_dim=self.out_channels,
+            cond_dim=self.cond_dim,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            fused=self.fused_attention,
+            name="cross_attn",
+        )
+        if uncond_rows:
+            bu, t_len = uncond_rows, h.shape[1]
+            # same module instance -> shared params; (1,1) shapes make the
+            # constant: uniform softmax over one bias-valued K/V row
+            const = attn(
+                jnp.zeros((1, 1, self.out_channels), h.dtype),
+                jnp.zeros((1, 1, motion_f.shape[-1]), motion_f.dtype),
+                jnp.zeros((1, 1, text_f.shape[-1]), text_f.dtype),
+            )
+            h_cond = attn(h[bu:], motion_f[bu:], text_f[bu:])
+            return jnp.concatenate(
+                [jnp.broadcast_to(const, (bu, t_len, self.out_channels)),
+                 h_cond],
+                axis=0,
+            )
+        return attn(h, motion_f, text_f)
+
+    def _attend_and_add(self, h, xs, motion_f, text_f, uncond_rows):
+        """Post-fused-chain tail: attention (when conditions exist) + skip."""
+        if motion_f is not None and text_f is not None:
+            h = self._attention(h, motion_f, text_f, uncond_rows)
+        return xs + h
 
 
 class UNet1DUltimate(nn.Module):
@@ -170,6 +229,8 @@ class UNet1DUltimate(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # serving-only fused resblock kernel (see ResBlockUltimate.fused_resblock)
+    fused_resblock: bool = False
     # rematerialize residual blocks in the backward pass (trade FLOPs for
     # activation memory; enables larger batches/sequences)
     remat: bool = False
@@ -206,6 +267,7 @@ class UNet1DUltimate(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 fused_attention=self.fused_attention,
+                fused_resblock=self.fused_resblock,
                 name=name,
             )
 

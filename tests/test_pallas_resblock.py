@@ -1,0 +1,161 @@
+"""Fused resblock kernel vs the flax ResBlockUltimate module.
+
+Runs the Pallas kernel in interpret mode (CPU) and checks it against the
+exact module it replaces, at every flagship geometry class: equal-channel,
+channel-change (1x1 skip), and the no-residual (pre-attention) variant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lm2a_tpu.models.unet1d import ResBlockUltimate, default_num_groups
+from lm2a_tpu.ops.pallas_resblock import (
+    fused_resblock_chain,
+    resblock_chain_reference,
+)
+
+
+def _params_from_module(variables, has_skip):
+    p = variables["params"]
+    film_kernel = p["film"]["to_scale_shift"]["kernel"]
+    film_bias = p["film"]["to_scale_shift"]["bias"]
+    out = dict(
+        gn1_scale=p["gn1"]["scale"], gn1_bias=p["gn1"]["bias"],
+        conv1_w=p["conv1"]["kernel"], conv1_b=p["conv1"]["bias"],
+        gn2_scale=p["gn2"]["scale"], gn2_bias=p["gn2"]["bias"],
+        conv2_w=p["conv2"]["kernel"], conv2_b=p["conv2"]["bias"],
+    )
+    if has_skip:
+        out["skip_w"] = p["skip"]["kernel"][0]  # (1, Cin, Cout) -> (Cin, Cout)
+        out["skip_b"] = p["skip"]["bias"]
+    return out, (film_kernel, film_bias)
+
+
+def _film_vectors(t_emb, film_kernel, film_bias):
+    stats = jax.nn.silu(t_emb) @ film_kernel + film_bias
+    scale, shift = jnp.split(stats, 2, axis=-1)
+    return scale, shift
+
+
+@pytest.mark.parametrize(
+    "t,cin,cout",
+    [(36, 32, 32), (24, 16, 32), (20, 64, 32)],
+)
+def test_fused_matches_module(t, cin, cout):
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, t, cin), jnp.float32)
+    t_emb = jax.random.normal(jax.random.PRNGKey(1), (2, 48), jnp.float32)
+
+    block = ResBlockUltimate(out_channels=cout, use_attn=False, dropout=0.0)
+    variables = block.init(key, x, t_emb, None, None)
+    want = block.apply(variables, x, t_emb, None, None, deterministic=True)
+
+    kw, (fk, fb) = _params_from_module(variables, has_skip=cin != cout)
+    scale, shift = _film_vectors(t_emb, fk, fb)
+    got = fused_resblock_chain(
+        x, kw["gn1_scale"], kw["gn1_bias"], kw["conv1_w"], kw["conv1_b"],
+        scale, shift, kw["gn2_scale"], kw["gn2_bias"], kw["conv2_w"],
+        kw["conv2_b"], kw.get("skip_w"), kw.get("skip_b"),
+        groups1=default_num_groups(cin), groups2=default_num_groups(cout),
+        interpret=True,
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_fused_matches_xla_reference_bf16():
+    key = jax.random.PRNGKey(2)
+    t, cin, cout = 40, 32, 32
+    x = jax.random.normal(key, (3, t, cin), jnp.bfloat16)
+    args = dict(
+        gn1_scale=jax.random.normal(jax.random.PRNGKey(3), (cin,)) * 0.1 + 1,
+        gn1_bias=jax.random.normal(jax.random.PRNGKey(4), (cin,)) * 0.1,
+        conv1_w=jax.random.normal(jax.random.PRNGKey(5), (3, cin, cout)) * 0.1,
+        conv1_b=jax.random.normal(jax.random.PRNGKey(6), (cout,)) * 0.1,
+        film_scale=jax.random.normal(jax.random.PRNGKey(7), (3, cout)) * 0.1,
+        film_shift=jax.random.normal(jax.random.PRNGKey(8), (3, cout)) * 0.1,
+        gn2_scale=jax.random.normal(jax.random.PRNGKey(9), (cout,)) * 0.1 + 1,
+        gn2_bias=jax.random.normal(jax.random.PRNGKey(10), (cout,)) * 0.1,
+        conv2_w=jax.random.normal(jax.random.PRNGKey(11), (3, cout, cout)) * 0.1,
+        conv2_b=jax.random.normal(jax.random.PRNGKey(12), (cout,)) * 0.1,
+    )
+    got = fused_resblock_chain(x, *args.values(), groups1=8, groups2=8,
+                               interpret=True)
+    want = resblock_chain_reference(x, *args.values(), groups1=8, groups2=8)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_no_residual_variant_returns_h_and_skip():
+    """Pre-attention blocks need h (to attend) and xs (to add after)."""
+    key = jax.random.PRNGKey(0)
+    t, cin, cout = 24, 16, 32
+    x = jax.random.normal(key, (2, t, cin), jnp.float32)
+    t_emb = jax.random.normal(jax.random.PRNGKey(1), (2, 48), jnp.float32)
+
+    block = ResBlockUltimate(out_channels=cout, use_attn=False, dropout=0.0)
+    variables = block.init(key, x, t_emb, None, None)
+    want_full = block.apply(variables, x, t_emb, None, None,
+                            deterministic=True)
+
+    kw, (fk, fb) = _params_from_module(variables, has_skip=True)
+    scale, shift = _film_vectors(t_emb, fk, fb)
+    h, xs = fused_resblock_chain(
+        x, kw["gn1_scale"], kw["gn1_bias"], kw["conv1_w"], kw["conv1_b"],
+        scale, shift, kw["gn2_scale"], kw["gn2_bias"], kw["conv2_w"],
+        kw["conv2_b"], kw["skip_w"], kw["skip_b"],
+        groups1=default_num_groups(cin), groups2=default_num_groups(cout),
+        add_residual=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(h + xs), np.asarray(want_full),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_vmem_budget_fallback():
+    """Oversized geometries return None (caller keeps the XLA path)."""
+    x = jnp.zeros((1, 8, 2048), jnp.bfloat16)
+    out = fused_resblock_chain(
+        x, jnp.ones((2048,)), jnp.zeros((2048,)),
+        jnp.zeros((3, 2048, 2048)), jnp.zeros((2048,)),
+        jnp.zeros((1, 2048)), jnp.zeros((1, 2048)),
+        jnp.ones((2048,)), jnp.zeros((2048,)),
+        jnp.zeros((3, 2048, 2048)), jnp.zeros((2048,)),
+        groups1=8, groups2=8, interpret=True,
+    )
+    assert out is None
+
+
+def test_unet_fused_resblock_matches_xla():
+    """Full UNet1DUltimate apply with fused_resblock=True equals the XLA
+    path (CPU interpret mode), including attention blocks and CFG rows."""
+    from lm2a_tpu.models.unet1d import UNet1DUltimate
+
+    kw = dict(in_dim=8, base_dim=16, dim_mults=(1, 2), cond_dim=16,
+              time_emb_dim=32, num_res_blocks=2, mid_blocks=1, attn_heads=2)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 24, 8), jnp.float32)
+    t = jnp.array([3, 7])
+    mo = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 16), jnp.float32)
+    tx = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 16), jnp.float32)
+
+    base = UNet1DUltimate(**kw)
+    variables = base.init(key, x, t, mo, tx)
+    want = base.apply(variables, x, t, mo, tx, deterministic=True)
+
+    fused = UNet1DUltimate(**kw, fused_resblock=True)
+    got = fused.apply(variables, x, t, mo, tx, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
+
+    # CFG uncond fold composes with the fused chain
+    want_u = base.apply(variables, x, t, mo, tx, deterministic=True,
+                        uncond_rows=1)
+    got_u = fused.apply(variables, x, t, mo, tx, deterministic=True,
+                        uncond_rows=1)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-4, rtol=5e-4)
