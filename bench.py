@@ -41,7 +41,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
 
-    cfg = ModelConfig()  # production defaults
+    # production defaults; LM2A_FUSED_RESBLOCK=0 opts out of the Pallas
+    # fused-resblock serving kernel for A/B runs
+    cfg = ModelConfig(
+        fused_resblock=os.environ.get("LM2A_FUSED_RESBLOCK", "1") == "1"
+    )
     B, T, steps, guidance = 1, 516, 1000, 2.1
 
     denoiser = build_denoiser(cfg, "bfloat16")
@@ -78,9 +82,15 @@ def main():
     from lm2a_tpu.utils.profiling import compiled_flops, device_peak_flops
 
     # FLOPs from the forward the sampler ACTUALLY runs (uncond_rows folds the
-    # uncond half's cross-attention), so MFU reflects executed work.
+    # uncond half's cross-attention), so MFU reflects executed work. Count on
+    # the plain-XLA forward: cost analysis cannot see inside Pallas kernels,
+    # and the fused path does the same math.
+    import dataclasses as _dc
+
+    denoiser_count = build_denoiser(
+        _dc.replace(cfg, fused_resblock=False), "bfloat16")
     cfg_rows = 2 * B if guidance > 1.0 else B
-    fwd = jax.jit(lambda p, x, t, m, l: denoiser.apply(
+    fwd = jax.jit(lambda p, x, t, m, l: denoiser_count.apply(
         p, x, t, m, l, uncond_rows=B if guidance > 1.0 else 0))
     step_flops = compiled_flops(
         fwd, params,

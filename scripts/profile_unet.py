@@ -25,6 +25,7 @@ from lm2a_tpu.models.factory import build_denoiser  # noqa: E402
 B, T = 2, 516
 CONFIGS = {
     "flagship": (ModelConfig(), True),
+    "fusedres": (ModelConfig(fused_resblock=True), True),
     "nocond": (ModelConfig(), False),
     "heads4": (ModelConfig(attn_heads=4), True),
     "nomid": (ModelConfig(mid_blocks=0), True),
@@ -32,7 +33,7 @@ CONFIGS = {
 }
 
 
-def bench(name: str, steps: int = 30):
+def bench(name: str, steps: int = int(os.environ.get("PROFILE_STEPS", "30"))):
     cfg, cond = CONFIGS[name]
     den = build_denoiser(cfg, "bfloat16")
     key = jax.random.key(0)
