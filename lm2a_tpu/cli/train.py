@@ -58,6 +58,10 @@ def build_parser(p=None):
     p.add_argument("--device_data", action="store_true",
                    help="upload the packed dataset to device memory once and "
                         "dispatch only batch indices (needs steps_per_call>1)")
+    p.add_argument("--fused_resblock_grad", action="store_true",
+                   help="route fitting residual blocks through the fused "
+                        "Pallas forward+backward kernels during training "
+                        "(ops/pallas_resblock.py)")
     p.add_argument("--max_steps", type=int, default=None, help="debug cap")
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--quality_every_epochs", type=int, default=0,
@@ -103,6 +107,7 @@ def config_from_args(args):
             num_res_blocks=args.num_res_blocks,
             mid_blocks=args.mid_blocks,
             attn_heads=args.attn_heads,
+            fused_resblock_grad=args.fused_resblock_grad,
         ),
         diffusion=DiffusionConfig(timesteps=args.timesteps),
         train=TrainConfig(

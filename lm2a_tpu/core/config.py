@@ -64,6 +64,10 @@ class ModelConfig:
     # GN+SiLU+conv3+FiLM+GN+SiLU+conv3 chain in one Pallas call per block.
     # Inert during init/training (those keep the XLA path).
     fused_resblock: bool = False
+    # Training: fused resblock forward + fused Pallas backward (custom VJP).
+    # Engages only on geometries whose weights + fp32 grad accumulators fit
+    # VMEM (C<=512 chains at flagship shapes); larger blocks stay on XLA.
+    fused_resblock_grad: bool = False
     # Rematerialize residual blocks in the backward pass (activation-memory
     # vs FLOPs trade; use for larger batches or longer sequences).
     remat: bool = False

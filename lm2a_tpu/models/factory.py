@@ -28,6 +28,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             dtype=dtype,
             fused_attention=cfg.fused_attention,
             fused_resblock=cfg.fused_resblock,
+            fused_resblock_grad=cfg.fused_resblock_grad,
             remat=cfg.remat,
         )
     if cfg.arch == "v1":

@@ -111,10 +111,16 @@ class ResBlockUltimate(nn.Module):
     # exist (apply, not init) and deterministic=True; training and oversized
     # geometries keep the XLA path.
     fused_resblock: bool = False
+    # Training: same fused forward plus a fused Pallas backward (custom VJP,
+    # ops/pallas_resblock.py:fused_resblock_train). Only geometries whose
+    # weights + fp32 grad accumulators fit VMEM engage; the rest stay XLA.
+    fused_resblock_grad: bool = False
 
-    def _fused_chain(self, x, t_emb):
+    def _fused_chain(self, x, t_emb, train: bool = False):
         """Fused conv-chain forward, or None when the kernel declines."""
-        from lm2a_tpu.ops.pallas_resblock import fused_resblock_chain
+        from lm2a_tpu.ops.pallas_resblock import (
+            fused_resblock_chain, fused_resblock_train,
+        )
 
         p = self.variables["params"]
         if "film" not in p:
@@ -127,7 +133,7 @@ class ResBlockUltimate(nn.Module):
         stats = nn.silu(t_emb.astype(dt)) @ fk + fb
         scale, shift = jnp.split(stats, 2, axis=-1)
         has_skip = in_ch != self.out_channels
-        return fused_resblock_chain(
+        args = (
             x.astype(dt),
             p["gn1"]["scale"], p["gn1"]["bias"],
             p["conv1"]["kernel"], p["conv1"]["bias"],
@@ -136,9 +142,15 @@ class ResBlockUltimate(nn.Module):
             p["conv2"]["kernel"], p["conv2"]["bias"],
             p["skip"]["kernel"][0] if has_skip else None,
             p["skip"]["bias"] if has_skip else None,
+        )
+        groups = dict(
             groups1=default_num_groups(in_ch),
             groups2=default_num_groups(self.out_channels),
-            add_residual=not self.use_attn,
+        )
+        if train:
+            return fused_resblock_train(*args, **groups)
+        return fused_resblock_chain(
+            *args, **groups, add_residual=not self.use_attn,
         )
 
     @nn.compact
@@ -161,6 +173,23 @@ class ResBlockUltimate(nn.Module):
             h, x = (fused if in_ch != self.out_channels
                     else (fused, x.astype(self.dtype)))
             return self._attend_and_add(h, x, motion_f, text_f, uncond_rows)
+
+        if (
+            self.fused_resblock_grad
+            and fused is None
+            and t_emb is not None
+            and not self.is_initializing()
+        ):
+            res = self._fused_chain(x, t_emb, train=True)
+            if res is not None:  # geometry fits the fused-backward budget
+                if in_ch != self.out_channels:
+                    h, xs = res
+                else:
+                    h, xs = res, x.astype(self.dtype)
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+                if self.use_attn and motion_f is not None and text_f is not None:
+                    h = self._attention(h, motion_f, text_f, uncond_rows)
+                return xs + h
 
         h = _group_norm(in_ch, self.dtype, "gn1")(x)
         h = nn.silu(h)
@@ -231,6 +260,8 @@ class UNet1DUltimate(nn.Module):
     fused_attention: bool = False
     # serving-only fused resblock kernel (see ResBlockUltimate.fused_resblock)
     fused_resblock: bool = False
+    # training-path fused resblock with Pallas backward (custom VJP)
+    fused_resblock_grad: bool = False
     # rematerialize residual blocks in the backward pass (trade FLOPs for
     # activation memory; enables larger batches/sequences)
     remat: bool = False
@@ -268,6 +299,7 @@ class UNet1DUltimate(nn.Module):
                 dtype=self.dtype,
                 fused_attention=self.fused_attention,
                 fused_resblock=self.fused_resblock,
+                fused_resblock_grad=self.fused_resblock_grad,
                 name=name,
             )
 

@@ -20,10 +20,16 @@ input dtype (bf16 on the serving path) with fp32 accumulation, like XLA's
 convs. Dropout is the caller's problem (serving runs deterministic; the
 wrapper refuses non-deterministic use).
 
-FORWARD-ONLY: the sampler is the target (the headline 1000-step chain).
-Training keeps the XLA path — no VJP is registered, so differentiating
-through ``fused_resblock_chain`` fails loudly rather than silently
-recomputing.
+``fused_resblock_chain`` itself is FORWARD-ONLY (the sampler is the
+target); differentiating through it fails loudly. For training,
+``fused_resblock_train`` wraps the same forward in a ``jax.custom_vjp``
+whose backward is a second Pallas kernel (``_resblock_bwd_kernel``): it
+recomputes the forward intermediates in VMEM per batch row and produces
+every gradient in one pass, accumulating weight gradients in fp32 across
+the batch grid. The backward needs the conv weights (bf16) AND their fp32
+gradient accumulators resident at once, so it fuses a smaller geometry set
+than the forward — ``resblock_train_fits`` is the gate; C=1024 blocks stay
+on XLA (weights 12.6 MB + accumulators 25 MB >> 16 MB VMEM).
 
 VMEM budget at the flagship's largest fusable geometry (Cin=Cout=1024,
 T=129): conv weights 2 x 6.3 MB bf16 + activations < 1 MB -> ~14 MB, inside
@@ -241,6 +247,400 @@ def fused_resblock_chain(
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Training: fused forward + fused backward via custom_vjp
+# ---------------------------------------------------------------------------
+
+# The backward kernel holds bf16 conv weights, fp32 weight-grad accumulators,
+# and ~8 live (T, C) fp32 activation arrays at once.
+BWD_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def resblock_train_fits(t: int, cin: int, cout: int, has_skip: bool) -> bool:
+    """True when the fused-backward geometry fits the VMEM budget."""
+    wcount = 3 * cin * cout + 3 * cout * cout + (cin * cout if has_skip else 0)
+    weight_bytes = wcount * 2 + wcount * 4  # bf16 weights + fp32 accumulators
+    act_bytes = t * max(cin, cout) * 4 * 8
+    return weight_bytes + act_bytes <= BWD_VMEM_BUDGET
+
+
+def _gn_fwd_stats(hf, p_assign, n_per_group, eps=1e-5):
+    """GroupNorm statistics on a (T, C) fp32 tile -> (xhat, rstd_c)."""
+    s = jnp.sum(hf, axis=0, keepdims=True)
+    ss = jnp.sum(hf * hf, axis=0, keepdims=True)
+    gs = jnp.dot(s, p_assign, preferred_element_type=jnp.float32)
+    gss = jnp.dot(ss, p_assign, preferred_element_type=jnp.float32)
+    mean_g = gs / n_per_group
+    var_g = gss / n_per_group - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, p_assign.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, p_assign.T, preferred_element_type=jnp.float32)
+    return (hf - mean_c) * rstd_c, rstd_c
+
+
+def _gn_bwd(dy, xhat, rstd_c, gamma, p_assign, n_per_group):
+    """GroupNorm input gradient (stats over each row's (T, C/G) group)."""
+    dxhat = dy * gamma
+    s1 = jnp.sum(dxhat, axis=0, keepdims=True)
+    s2 = jnp.sum(dxhat * xhat, axis=0, keepdims=True)
+    m1c = jnp.dot(jnp.dot(s1, p_assign) / n_per_group, p_assign.T,
+                  preferred_element_type=jnp.float32)
+    m2c = jnp.dot(jnp.dot(s2, p_assign) / n_per_group, p_assign.T,
+                  preferred_element_type=jnp.float32)
+    return rstd_c * (dxhat - m1c - xhat * m2c)
+
+
+def _silu_bwd(d_out, y, sig):
+    """d silu(y)/dy given y and sigmoid(y)."""
+    return d_out * (sig * (1.0 + y * (1.0 - sig)))
+
+
+def _corr3(g, w_ref, cdtype):
+    """Input gradient of the SAME conv3: d_in[t] = sum_k g[t+1-k] @ w[k]^T."""
+    gb = g.astype(cdtype)
+    m0 = jnp.dot(gb, w_ref[0].astype(cdtype).T, preferred_element_type=jnp.float32)
+    m1 = jnp.dot(gb, w_ref[1].astype(cdtype).T, preferred_element_type=jnp.float32)
+    m2 = jnp.dot(gb, w_ref[2].astype(cdtype).T, preferred_element_type=jnp.float32)
+    zero_row = jnp.zeros_like(m0[:1])
+    return (jnp.concatenate([m0[1:], zero_row], axis=0) + m1
+            + jnp.concatenate([zero_row, m2[:-1]], axis=0))
+
+
+def _dw3(inp, g, cdtype):
+    """Weight gradient of the SAME conv3: dw[k] = sum_t in[t+k-1]^T g[t]."""
+    ib = inp.astype(cdtype)
+    gb = g.astype(cdtype)
+    zero_row = jnp.zeros_like(ib[:1])
+    down = jnp.concatenate([zero_row, ib[:-1]], axis=0)  # in[t-1]
+    up = jnp.concatenate([ib[1:], zero_row], axis=0)  # in[t+1]
+    d0 = jnp.dot(down.T, gb, preferred_element_type=jnp.float32)
+    d1 = jnp.dot(ib.T, gb, preferred_element_type=jnp.float32)
+    d2 = jnp.dot(up.T, gb, preferred_element_type=jnp.float32)
+    return jnp.stack([d0, d1, d2], axis=0)
+
+
+def _resblock_bwd_kernel(
+    x_ref, g1s_ref, g1b_ref, w1_ref, c1b_ref, fsc_ref, fsh_ref,
+    g2s_ref, g2b_ref, w2_ref, gh_ref, *rest,
+    groups1: int, groups2: int, has_skip: bool, cdtype,
+):
+    if has_skip:
+        sw_ref, gxs_ref = rest[0], rest[1]
+        outs = rest[2:]
+    else:
+        sw_ref = gxs_ref = None
+        outs = rest
+    (dx_ref, dg1s_ref, dg1b_ref, dw1_ref, db1_ref, dsc_ref, dsh_ref,
+     dg2s_ref, dg2b_ref, dw2_ref, db2_ref) = outs[:11]
+    if has_skip:
+        dsw_ref, dsb_ref = outs[11], outs[12]
+
+    x = x_ref[0]  # (T, Cin)
+    t = x.shape[0]
+    cin = x.shape[1]
+    cout = w1_ref.shape[2]
+
+    # ---- forward recompute (same math as _resblock_kernel) ----
+    xf = x.astype(jnp.float32)
+    p1 = _group_matrices(cin, groups1, jnp.float32)
+    n1 = t * (cin // groups1)
+    xhat1, rstd1 = _gn_fwd_stats(xf, p1, n1)
+    y1 = xhat1 * g1s_ref[...] + g1b_ref[...]
+    sig1 = jax.nn.sigmoid(y1)
+    s1 = y1 * sig1
+    z1 = _conv3(s1, w1_ref, c1b_ref[...], cdtype)  # (T, Cout) fp32
+    sc = fsc_ref[0].astype(jnp.float32)  # (1, Cout)
+    f = z1 * (1.0 + sc) + fsh_ref[0].astype(jnp.float32)
+    p2 = _group_matrices(cout, groups2, jnp.float32)
+    n2 = t * (cout // groups2)
+    xhat2, rstd2 = _gn_fwd_stats(f, p2, n2)
+    y2 = xhat2 * g2s_ref[...] + g2b_ref[...]
+    sig2 = jax.nn.sigmoid(y2)
+    s2 = y2 * sig2
+
+    # ---- backward ----
+    g = gh_ref[0].astype(jnp.float32)  # d(chain output)
+    db2 = jnp.sum(g, axis=0, keepdims=True)
+    dw2 = _dw3(s2, g, cdtype)
+    d_y2 = _silu_bwd(_corr3(g, w2_ref, cdtype), y2, sig2)
+    dg2s = jnp.sum(d_y2 * xhat2, axis=0, keepdims=True)
+    dg2b = jnp.sum(d_y2, axis=0, keepdims=True)
+    d_f = _gn_bwd(d_y2, xhat2, rstd2, g2s_ref[...], p2, n2)
+
+    dsc_ref[0] = jnp.sum(d_f * z1, axis=0, keepdims=True).astype(dsc_ref.dtype)
+    dsh_ref[0] = jnp.sum(d_f, axis=0, keepdims=True).astype(dsh_ref.dtype)
+    d_z1 = d_f * (1.0 + sc)
+
+    db1 = jnp.sum(d_z1, axis=0, keepdims=True)
+    dw1 = _dw3(s1, d_z1, cdtype)
+    d_y1 = _silu_bwd(_corr3(d_z1, w1_ref, cdtype), y1, sig1)
+    dg1s = jnp.sum(d_y1 * xhat1, axis=0, keepdims=True)
+    dg1b = jnp.sum(d_y1, axis=0, keepdims=True)
+    d_x = _gn_bwd(d_y1, xhat1, rstd1, g1s_ref[...], p1, n1)
+
+    if has_skip:
+        gx = gxs_ref[0].astype(jnp.float32)
+        d_x = d_x + jnp.dot(
+            gx.astype(cdtype), sw_ref[...].astype(cdtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        dsw = jnp.dot(x.astype(cdtype).T, gx.astype(cdtype),
+                      preferred_element_type=jnp.float32)
+        dsb = jnp.sum(gx, axis=0, keepdims=True)
+    dx_ref[0] = d_x.astype(dx_ref.dtype)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dg1s_ref[...] = dg1s
+        dg1b_ref[...] = dg1b
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dg2s_ref[...] = dg2s
+        dg2b_ref[...] = dg2b
+        dw2_ref[...] = dw2
+        db2_ref[...] = db2
+        if has_skip:
+            dsw_ref[...] = dsw
+            dsb_ref[...] = dsb
+
+    @pl.when(i != 0)
+    def _acc():
+        dg1s_ref[...] += dg1s
+        dg1b_ref[...] += dg1b
+        dw1_ref[...] += dw1
+        db1_ref[...] += db1
+        dg2s_ref[...] += dg2s
+        dg2b_ref[...] += dg2b
+        dw2_ref[...] += dw2
+        db2_ref[...] += db2
+        if has_skip:
+            dsw_ref[...] += dsw
+            dsb_ref[...] += dsb
+
+
+def _resblock_bwd_call(
+    x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, skip_w, gh, gxs,
+    groups1: int, groups2: int, interpret: Optional[bool] = None,
+):
+    """Invoke the backward kernel; returns the full gradient tuple."""
+    b, t, cin = x.shape
+    cout = w1.shape[2]
+    has_skip = skip_w is not None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+
+    def vec(p, c):
+        return p.reshape(1, c).astype(jnp.float32)
+
+    const2 = lambda i: (0, 0)  # noqa: E731
+    const3 = lambda i: (0, 0, 0)  # noqa: E731
+    row2 = lambda c: pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, t, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),  # gn1 scale
+        pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),  # gn1 bias
+        pl.BlockSpec((3, cin, cout), const3, memory_space=pltpu.VMEM),  # w1
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # b1
+        row2(cout),  # film scale
+        row2(cout),  # film shift
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # gn2 scale
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # gn2 bias
+        pl.BlockSpec((3, cout, cout), const3, memory_space=pltpu.VMEM),  # w2
+        pl.BlockSpec((1, t, cout), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # gh
+    ]
+    args = [
+        x,
+        vec(g1s, cin), vec(g1b, cin),
+        w1.astype(cdtype), vec(b1, cout),
+        sc.astype(jnp.float32).reshape(b, 1, cout),
+        sh.astype(jnp.float32).reshape(b, 1, cout),
+        vec(g2s, cout), vec(g2b, cout),
+        w2.astype(cdtype),
+        gh,
+    ]
+    if has_skip:
+        in_specs += [
+            pl.BlockSpec((cin, cout), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [skip_w.astype(cdtype), gxs]
+
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, t, cin), x.dtype),  # dx
+        jax.ShapeDtypeStruct((1, cin), f32),  # dg1s
+        jax.ShapeDtypeStruct((1, cin), f32),  # dg1b
+        jax.ShapeDtypeStruct((3, cin, cout), f32),  # dw1
+        jax.ShapeDtypeStruct((1, cout), f32),  # db1
+        jax.ShapeDtypeStruct((b, 1, cout), f32),  # dsc
+        jax.ShapeDtypeStruct((b, 1, cout), f32),  # dsh
+        jax.ShapeDtypeStruct((1, cout), f32),  # dg2s
+        jax.ShapeDtypeStruct((1, cout), f32),  # dg2b
+        jax.ShapeDtypeStruct((3, cout, cout), f32),  # dw2
+        jax.ShapeDtypeStruct((1, cout), f32),  # db2
+    ]
+    out_specs = [
+        pl.BlockSpec((1, t, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, cin, cout), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        row2(cout),
+        row2(cout),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, cout, cout), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+    ]
+    if has_skip:
+        out_shapes += [
+            jax.ShapeDtypeStruct((cin, cout), f32),
+            jax.ShapeDtypeStruct((1, cout), f32),
+        ]
+        out_specs += [
+            pl.BlockSpec((cin, cout), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        ]
+
+    kernel = functools.partial(
+        _resblock_bwd_kernel,
+        groups1=groups1, groups2=groups2, has_skip=has_skip, cdtype=cdtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*args)
+
+
+def _cast_like(g, primal):
+    return g.astype(primal.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _chain_train_noskip(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                        g2s, g2b, w2, b2):
+    out = fused_resblock_chain(
+        x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2,
+        groups1=groups1, groups2=groups2, add_residual=False,
+    )
+    assert out is not None, "geometry must be pre-checked with resblock_train_fits"
+    return out
+
+
+def _chain_train_noskip_fwd(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                            g2s, g2b, w2, b2):
+    out = _chain_train_noskip(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                              g2s, g2b, w2, b2)
+    return out, (x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2)
+
+
+def _chain_train_noskip_bwd(groups1, groups2, res, gh):
+    x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2 = res
+    (dx, dg1s, dg1b, dw1, db1, dsc, dsh, dg2s, dg2b, dw2, db2) = \
+        _resblock_bwd_call(x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2,
+                           None, gh, None, groups1=groups1, groups2=groups2)
+    b, cout = sc.shape[0], w1.shape[2]
+    return (
+        _cast_like(dx, x),
+        _cast_like(dg1s.reshape(g1s.shape), g1s),
+        _cast_like(dg1b.reshape(g1b.shape), g1b),
+        _cast_like(dw1, w1),
+        _cast_like(db1.reshape(b1.shape), b1),
+        _cast_like(dsc.reshape(b, cout), sc),
+        _cast_like(dsh.reshape(b, cout), sh),
+        _cast_like(dg2s.reshape(g2s.shape), g2s),
+        _cast_like(dg2b.reshape(g2b.shape), g2b),
+        _cast_like(dw2, w2),
+        _cast_like(db2.reshape(b2.shape), b2),
+    )
+
+
+_chain_train_noskip.defvjp(_chain_train_noskip_fwd, _chain_train_noskip_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _chain_train_skip(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                      g2s, g2b, w2, b2, sw, sb):
+    out = fused_resblock_chain(
+        x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2, sw, sb,
+        groups1=groups1, groups2=groups2, add_residual=False,
+    )
+    assert out is not None, "geometry must be pre-checked with resblock_train_fits"
+    return out  # (h, xs)
+
+
+def _chain_train_skip_fwd(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                          g2s, g2b, w2, b2, sw, sb):
+    out = _chain_train_skip(groups1, groups2, x, g1s, g1b, w1, b1, sc, sh,
+                            g2s, g2b, w2, b2, sw, sb)
+    return out, (x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2, sw, sb)
+
+
+def _chain_train_skip_bwd(groups1, groups2, res, cot):
+    x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2, b2, sw, sb = res
+    gh, gxs = cot
+    (dx, dg1s, dg1b, dw1, db1, dsc, dsh, dg2s, dg2b, dw2, db2, dsw, dsb) = \
+        _resblock_bwd_call(x, g1s, g1b, w1, b1, sc, sh, g2s, g2b, w2,
+                           sw, gh, gxs, groups1=groups1, groups2=groups2)
+    b, cout = sc.shape[0], w1.shape[2]
+    return (
+        _cast_like(dx, x),
+        _cast_like(dg1s.reshape(g1s.shape), g1s),
+        _cast_like(dg1b.reshape(g1b.shape), g1b),
+        _cast_like(dw1, w1),
+        _cast_like(db1.reshape(b1.shape), b1),
+        _cast_like(dsc.reshape(b, cout), sc),
+        _cast_like(dsh.reshape(b, cout), sh),
+        _cast_like(dg2s.reshape(g2s.shape), g2s),
+        _cast_like(dg2b.reshape(g2b.shape), g2b),
+        _cast_like(dw2, w2),
+        _cast_like(db2.reshape(b2.shape), b2),
+        _cast_like(dsw, sw),
+        _cast_like(dsb.reshape(sb.shape), sb),
+    )
+
+
+_chain_train_skip.defvjp(_chain_train_skip_fwd, _chain_train_skip_bwd)
+
+
+def fused_resblock_train(
+    x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
+    gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w=None, skip_b=None,
+    *, groups1: int, groups2: int,
+):
+    """Differentiable fused resblock chain (no residual, no dropout).
+
+    Returns ``h`` (no skip) or ``(h, xs)`` (skip projection present) like
+    ``fused_resblock_chain(add_residual=False)`` — or None when the
+    backward geometry exceeds the VMEM budget (caller falls back to XLA).
+    """
+    b, t, cin = x.shape
+    cout = conv1_w.shape[2]
+    if not resblock_train_fits(t, cin, cout, skip_w is not None):
+        return None
+    if skip_w is None:
+        return _chain_train_noskip(
+            groups1, groups2, x, gn1_scale, gn1_bias, conv1_w, conv1_b,
+            film_scale, film_shift, gn2_scale, gn2_bias, conv2_w, conv2_b,
+        )
+    return _chain_train_skip(
+        groups1, groups2, x, gn1_scale, gn1_bias, conv1_w, conv1_b,
+        film_scale, film_shift, gn2_scale, gn2_bias, conv2_w, conv2_b,
+        skip_w, skip_b,
+    )
 
 
 def resblock_chain_reference(

@@ -130,6 +130,119 @@ def test_vmem_budget_fallback():
     assert out is None
 
 
+class TestFusedBackward:
+    """fused_resblock_train's custom VJP vs jax.grad of the XLA reference."""
+
+    @staticmethod
+    def _args(key, b, t, cin, cout, has_skip, dtype=jnp.float32):
+        ks = jax.random.split(key, 16)
+        a = [
+            jax.random.normal(ks[0], (b, t, cin), dtype),  # x
+            jnp.ones((cin,)) + 0.1 * jax.random.normal(ks[1], (cin,)),
+            0.1 * jax.random.normal(ks[2], (cin,)),
+            jax.random.normal(ks[3], (3, cin, cout)) * 0.05,
+            0.1 * jax.random.normal(ks[4], (cout,)),
+            0.2 * jax.random.normal(ks[5], (b, cout), dtype),  # film scale
+            0.2 * jax.random.normal(ks[6], (b, cout), dtype),  # film shift
+            jnp.ones((cout,)) + 0.1 * jax.random.normal(ks[7], (cout,)),
+            0.1 * jax.random.normal(ks[8], (cout,)),
+            jax.random.normal(ks[9], (3, cout, cout)) * 0.05,
+            0.1 * jax.random.normal(ks[10], (cout,)),
+        ]
+        if has_skip:
+            a += [jax.random.normal(ks[11], (cin, cout)) * 0.1,
+                  0.1 * jax.random.normal(ks[12], (cout,))]
+        return a
+
+    @pytest.mark.parametrize(
+        "b,t,cin,cout,g1,g2",
+        [(3, 37, 16, 24, 4, 4), (2, 64, 32, 32, 8, 8), (2, 20, 8, 16, 2, 4)],
+    )
+    def test_grads_match_xla_autodiff(self, b, t, cin, cout, g1, g2):
+        from lm2a_tpu.ops.pallas_resblock import fused_resblock_train
+
+        has_skip = cin != cout
+        args = self._args(jax.random.PRNGKey(0), b, t, cin, cout, has_skip)
+
+        def loss(chain):
+            def f(*a):
+                out = chain(*a, groups1=g1, groups2=g2)
+                assert out is not None
+                if has_skip:
+                    h, xs = out
+                    out = xs + 2.0 * h  # distinct cotangents for h and xs
+                return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+            return f
+
+        def ref_chain(*a, groups1, groups2):
+            return resblock_chain_reference(
+                *a, groups1=groups1, groups2=groups2, add_residual=False)
+
+        argnums = tuple(range(len(args)))
+        vf, gf = jax.value_and_grad(
+            loss(fused_resblock_train), argnums=argnums)(*args)
+        vr, gr = jax.value_and_grad(loss(ref_chain), argnums=argnums)(*args)
+        np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+        for x, y in zip(gf, gr):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            denom = max(1e-6, np.abs(y).max())
+            assert np.abs(x - y).max() / denom < 2e-4
+
+    def test_oversized_geometry_declines(self):
+        from lm2a_tpu.ops.pallas_resblock import (
+            fused_resblock_train, resblock_train_fits,
+        )
+
+        assert not resblock_train_fits(129, 1024, 1024, False)
+        assert not resblock_train_fits(258, 1024, 512, True)
+        assert resblock_train_fits(516, 256, 256, False)
+        assert resblock_train_fits(258, 512, 512, False)
+        assert resblock_train_fits(516, 512, 256, True)
+
+        args = self._args(jax.random.PRNGKey(0), 1, 129, 1024, 1024, False)
+        assert fused_resblock_train(*args, groups1=8, groups2=8) is None
+
+    def test_unet_train_grads_match_xla(self):
+        """Full UNet training-mode loss + grads with fused_resblock_grad
+        match the plain XLA path (dropout disabled for determinism)."""
+        from lm2a_tpu.models.unet1d import UNet1DUltimate
+
+        kw = dict(in_dim=8, base_dim=16, dim_mults=(1, 2), cond_dim=16,
+                  time_emb_dim=32, num_res_blocks=2, mid_blocks=1,
+                  attn_heads=2, dropout=0.0)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 24, 8), jnp.float32)
+        t = jnp.array([3, 7])
+        mo = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 16), jnp.float32)
+        tx = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 16), jnp.float32)
+
+        base = UNet1DUltimate(**kw)
+        variables = base.init(key, x, t, mo, tx)
+        fused = UNet1DUltimate(**kw, fused_resblock_grad=True)
+
+        def loss(model):
+            def f(params):
+                out = model.apply({"params": params}, x, t, mo, tx,
+                                  deterministic=False,
+                                  rngs={"dropout": jax.random.PRNGKey(9)})
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+            return f
+
+        vb, gb = jax.value_and_grad(loss(base))(variables["params"])
+        vf, gf = jax.value_and_grad(loss(fused))(variables["params"])
+        np.testing.assert_allclose(float(vf), float(vb), rtol=1e-5)
+        flat_b = jax.tree.leaves(gb)
+        flat_f = jax.tree.leaves(gf)
+        assert len(flat_b) == len(flat_f)
+        for a, c in zip(flat_b, flat_f):
+            a = np.asarray(a, np.float64)
+            c = np.asarray(c, np.float64)
+            # relative to the leaf's own scale, with an absolute floor for
+            # near-zero leaves (time-embedding grads can be ~1e-10 here)
+            assert np.abs(a - c).max() < 5e-4 * np.abs(a).max() + 1e-8
+
+
 def test_unet_fused_resblock_matches_xla():
     """Full UNet1DUltimate apply with fused_resblock=True equals the XLA
     path (CPU interpret mode), including attention blocks and CFG rows."""
