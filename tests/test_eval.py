@@ -224,6 +224,35 @@ class TestBeat:
         # corpus-mean F1 must be high for the metric to be comparable
         assert float(np.mean(f1s)) >= 0.9, f1s
 
+    def test_discriminates_aligned_from_offbeat(self):
+        """The alignment metric's job: a generation whose beats match the
+        gt must score high F1 against the gt's TRACKED beats; a half-beat
+        shifted one must score near zero (measured corpus-wide in
+        scripts/quantify_beat_tracker.py: 1.000 vs 0.000)."""
+        bpm, n = 120.0, int(6.0 * SR)
+        period = int(SR * 60.0 / bpm)
+        click = np.sin(2 * np.pi * 1000 * np.arange(400) / SR).astype(np.float32)
+        click *= np.exp(-np.arange(400) / 60.0)
+
+        def track_at(offset):
+            y = np.zeros(n, dtype=np.float32)
+            for start in range(offset, n - 400, period):
+                y[start : start + 400] += click
+            return track_beats(y, sr=SR)
+
+        bt_gt = track_at(0)
+        bt_aligned = track_at(220)  # ~10 ms off: inside the 70 ms tolerance
+        bt_off = track_at(period // 2)  # half a beat off
+
+        def f1(ref, est):
+            m, _, _ = match_beats(ref, est, tol=0.07)
+            p = len(m) / max(len(est), 1)
+            r = len(m) / max(len(ref), 1)
+            return 2 * p * r / max(p + r, 1e-9)
+
+        assert f1(bt_gt, bt_aligned) >= 0.9
+        assert f1(bt_gt, bt_off) <= 0.1
+
 
 class TestEvaluateAll:
     def test_orchestrator(self, tmp_path):
