@@ -179,7 +179,19 @@ def fused_resblock_chain(
     if has_skip:
         weight_bytes += skip_w.size * 2
     if weight_bytes > VMEM_WEIGHT_BUDGET:
-        return None
+        # whole chain over VMEM: run as two pallas calls when each half fits
+        # (covers the flagship's 2048->1024 up block, ~23 MB of weights)
+        half1 = conv1_w.size * 2
+        half2 = conv2_w.size * 2 + (skip_w.size * 2 if has_skip else 0)
+        if max(half1, half2) > VMEM_WEIGHT_BUDGET:
+            return None
+        return _fused_chain_split(
+            x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
+            gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w, skip_b,
+            groups1=groups1, groups2=groups2, add_residual=add_residual,
+            interpret=(jax.default_backend() != "tpu"
+                       if interpret is None else interpret),
+        )
 
     cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
@@ -241,6 +253,139 @@ def fused_resblock_chain(
     )
     return pl.pallas_call(
         kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Split forward for over-VMEM geometries (serving)
+# ---------------------------------------------------------------------------
+# The flagship's first up-stage block is Cin=2048 -> Cout=1024 at T=129:
+# all weights together are ~23 MB bf16, over VMEM, so the single-call kernel
+# declines. Each HALF of the chain fits comfortably, so it runs as two
+# pallas calls with one fp32 (B, T, Cout) intermediate in HBM — still far
+# less traffic than XLA's five kernels with two GroupNorm barriers.
+
+
+def _half1_kernel(x_ref, g1_ref, b1_ref, w1_ref, c1b_ref, fsc_ref, fsh_ref,
+                  out_ref, *, groups1: int, cdtype):
+    """GN1 + SiLU + conv3 + FiLM -> f (fp32)."""
+    x = x_ref[0]
+    t, cin = x.shape
+    p1 = _group_matrices(cin, groups1, jnp.float32)
+    h = _gn_silu(x, g1_ref[...], b1_ref[...], p1, t * (cin // groups1))
+    h = _conv3(h, w1_ref, c1b_ref[...], cdtype)
+    h = h * (1.0 + fsc_ref[0].astype(jnp.float32)) + fsh_ref[0].astype(jnp.float32)
+    out_ref[0] = h.astype(out_ref.dtype)
+
+
+def _half2_kernel(f_ref, g2_ref, b2_ref, w2_ref, c2b_ref, *rest,
+                  groups2: int, has_skip: bool, add_residual: bool, cdtype):
+    """GN2 + SiLU + conv3 (+skip projection of x, +residual)."""
+    if has_skip:
+        x_ref, sw_ref, sb_ref = rest[0], rest[1], rest[2]
+        out_refs = rest[3:]
+    else:
+        x_ref = rest[0]
+        out_refs = rest[1:]
+
+    f = f_ref[0].astype(jnp.float32)
+    t, cout = f.shape
+    p2 = _group_matrices(cout, groups2, jnp.float32)
+    h = _gn_silu(f, g2_ref[...], b2_ref[...], p2, t * (cout // groups2))
+    h = _conv3(h, w2_ref, c2b_ref[...], cdtype)
+
+    if has_skip:
+        xs = (
+            jnp.dot(x_ref[0].astype(cdtype), sw_ref[...].astype(cdtype),
+                    preferred_element_type=jnp.float32)
+            + sb_ref[...]
+        )
+    else:
+        xs = x_ref[0].astype(jnp.float32)
+
+    if add_residual:
+        out_refs[0][0] = (xs + h).astype(out_refs[0].dtype)
+    else:
+        out_refs[0][0] = h.astype(out_refs[0].dtype)
+        if has_skip:
+            out_refs[1][0] = xs.astype(out_refs[1].dtype)
+
+
+def _fused_chain_split(
+    x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
+    gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w, skip_b,
+    *, groups1: int, groups2: int, add_residual: bool, interpret: bool,
+):
+    b, t, cin = x.shape
+    cout = conv1_w.shape[2]
+    has_skip = skip_w is not None
+    cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+
+    def vec(p, c):
+        return p.reshape(1, c).astype(jnp.float32)
+
+    const2 = lambda i: (0, 0)  # noqa: E731
+    const3 = lambda i: (0, 0, 0)  # noqa: E731
+    row3 = lambda c: pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),  # noqa: E731
+                                  memory_space=pltpu.VMEM)
+    tile = lambda tt, c: pl.BlockSpec((1, tt, c), lambda i: (i, 0, 0),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+
+    f = pl.pallas_call(
+        functools.partial(_half1_kernel, groups1=groups1, cdtype=cdtype),
+        grid=(b,),
+        in_specs=[
+            tile(t, cin),
+            pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cin, cout), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+            row3(cout), row3(cout),
+        ],
+        out_specs=tile(t, cout),
+        out_shape=jax.ShapeDtypeStruct((b, t, cout), jnp.float32),
+        interpret=interpret,
+    )(
+        x, vec(gn1_scale, cin), vec(gn1_bias, cin), conv1_w.astype(cdtype),
+        vec(conv1_b, cout),
+        film_scale.astype(jnp.float32).reshape(b, 1, cout),
+        film_shift.astype(jnp.float32).reshape(b, 1, cout),
+    )
+
+    in_specs = [
+        tile(t, cout),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, cout, cout), const3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        tile(t, cin),  # x (skip input / identity)
+    ]
+    args = [f, vec(gn2_scale, cout), vec(gn2_bias, cout),
+            conv2_w.astype(cdtype), vec(conv2_b, cout), x]
+    if has_skip:
+        in_specs += [
+            pl.BlockSpec((cin, cout), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),
+        ]
+        args += [skip_w.astype(cdtype), vec(skip_b, cout)]
+
+    out_spec = tile(t, cout)
+    if add_residual or not has_skip:
+        out_shape = jax.ShapeDtypeStruct((b, t, cout), x.dtype)
+        out_specs = out_spec
+    else:
+        out_shape = (jax.ShapeDtypeStruct((b, t, cout), x.dtype),
+                     jax.ShapeDtypeStruct((b, t, cout), x.dtype))
+        out_specs = (out_spec, out_spec)
+
+    return pl.pallas_call(
+        functools.partial(_half2_kernel, groups2=groups2, has_skip=has_skip,
+                          add_residual=add_residual, cdtype=cdtype),
         grid=(b,),
         in_specs=in_specs,
         out_specs=out_specs,

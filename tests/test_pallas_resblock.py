@@ -130,6 +130,71 @@ def test_vmem_budget_fallback():
     assert out is None
 
 
+class TestSplitForward:
+    """Two-call split path for over-VMEM geometries (2048->1024 up block)."""
+
+    @pytest.mark.parametrize("has_skip,add_residual",
+                             [(True, True), (True, False), (False, True)])
+    def test_split_matches_reference(self, has_skip, add_residual, monkeypatch):
+        import lm2a_tpu.ops.pallas_resblock as prb
+
+        t, cin = 24, 32
+        cout = 16 if has_skip else cin
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 16)
+        args = [
+            jax.random.normal(ks[0], (2, t, cin), jnp.float32),
+            jnp.ones((cin,)) + 0.1 * jax.random.normal(ks[1], (cin,)),
+            0.1 * jax.random.normal(ks[2], (cin,)),
+            jax.random.normal(ks[3], (3, cin, cout)) * 0.1,
+            0.1 * jax.random.normal(ks[4], (cout,)),
+            0.2 * jax.random.normal(ks[5], (2, cout)),
+            0.2 * jax.random.normal(ks[6], (2, cout)),
+            jnp.ones((cout,)) + 0.1 * jax.random.normal(ks[7], (cout,)),
+            0.1 * jax.random.normal(ks[8], (cout,)),
+            jax.random.normal(ks[9], (3, cout, cout)) * 0.1,
+            0.1 * jax.random.normal(ks[10], (cout,)),
+        ]
+        if has_skip:
+            args += [jax.random.normal(ks[11], (cin, cout)) * 0.1,
+                     0.1 * jax.random.normal(ks[12], (cout,))]
+        else:
+            args += [None, None]
+        gkw = dict(groups1=4, groups2=4, add_residual=add_residual)
+
+        want = resblock_chain_reference(*args, **gkw)
+        # shrink the budget to exactly the larger half so this tiny geometry
+        # fails the whole-chain check but passes both half checks
+        half1 = args[3].size * 2
+        half2 = args[9].size * 2 + (args[11].size * 2 if has_skip else 0)
+        monkeypatch.setattr(prb, "VMEM_WEIGHT_BUDGET", max(half1, half2))
+        got = fused_resblock_chain(*args, **gkw, interpret=True)
+        assert got is not None
+        if isinstance(want, tuple):
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                           atol=2e-4, rtol=2e-4)
+        else:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_truly_oversized_still_declines(self, monkeypatch):
+        import lm2a_tpu.ops.pallas_resblock as prb
+
+        monkeypatch.setattr(prb, "VMEM_WEIGHT_BUDGET", 1)
+        # patching the budget to 1 byte also sinks both halves -> None
+        x = jnp.zeros((1, 8, 16), jnp.float32)
+        out = fused_resblock_chain(
+            x, jnp.ones((16,)), jnp.zeros((16,)),
+            jnp.zeros((3, 16, 16)), jnp.zeros((16,)),
+            jnp.zeros((1, 16)), jnp.zeros((1, 16)),
+            jnp.ones((16,)), jnp.zeros((16,)),
+            jnp.zeros((3, 16, 16)), jnp.zeros((16,)),
+            groups1=4, groups2=4, interpret=True,
+        )
+        assert out is None
+
+
 class TestFusedBackward:
     """fused_resblock_train's custom VJP vs jax.grad of the XLA reference."""
 
