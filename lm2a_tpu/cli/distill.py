@@ -35,6 +35,10 @@ def build_parser(p=None):
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--guidance", type=float, default=2.1,
                    help="teacher CFG weight folded into the student")
+    p.add_argument("--loss_schedule", default="x0_snr",
+                   help="per-stage distillation loss, comma list or single "
+                        "value broadcast: x0_snr (truncated-SNR x0 "
+                        "regression) | eps (plain eps-MSE)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -137,9 +141,22 @@ def main(args=None):
     else:
         effective_fold = args.guidance
         stage_gw = stage_guidance_schedule(len(stages), args.guidance)
-    for stage_n, stage_guidance in zip(stages, stage_gw):
+    losses_by_stage = [s.strip() for s in args.loss_schedule.split(",")]
+    for s in losses_by_stage:
+        if s not in ("x0_snr", "eps"):
+            raise SystemExit(f"unknown --loss_schedule entry {s!r}")
+    if len(losses_by_stage) == 1:
+        losses_by_stage = losses_by_stage * len(stages)
+    if len(losses_by_stage) != len(stages):
+        raise SystemExit(
+            f"--loss_schedule has {len(losses_by_stage)} entries for "
+            f"{len(stages)} stages {stages}")
+
+    for stage_n, stage_guidance, stage_loss in zip(stages, stage_gw,
+                                                   losses_by_stage):
         print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps,"
-              f" teacher guidance {stage_guidance}", flush=True)
+              f" teacher guidance {stage_guidance}, loss {stage_loss}",
+              flush=True)
         done = 0
         if device_data is not None:
             from lm2a_tpu.training.distill import (

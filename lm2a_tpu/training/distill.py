@@ -89,9 +89,16 @@ def _distill_one_step(
     dataset_std: float = 1.0,
     guidance_weight: float = 1.0,
     x0_clip: float = 2.0,
+    loss_space: str = "x0_snr",
 ):
     """Build the un-jitted ``step(state, teacher_params, batch, key) ->
     (state, loss)``.
+
+    ``loss_space``: ``"x0_snr"`` regresses x0 with truncated-SNR weighting
+    (Salimans & Ho sec. 4); ``"eps"`` is plain eps-MSE on the implied
+    one-step eps target. Measured (DEVNOTES): eps wins at the first
+    (100-step) stage, x0_snr is required for later stages where eps-MSE
+    under-weights the low-SNR steps and mean-biases the student.
 
     ``state`` holds the STUDENT (initialize it from the teacher's weights);
     ``teacher_params`` is the frozen ``{'unet':…, 'cond_proj':…}`` tree.
@@ -177,6 +184,11 @@ def _distill_one_step(
         # students came out mean-biased (+1.1 sigma measured). w =
         # max(SNR, 1) floors the x0 weight at 1 there while staying
         # equal to eps-MSE for SNR > 1.
+        if loss_space == "eps":
+            eps_tgt = (x_t - a_t * x0_tgt) / s_t
+            return jnp.mean(
+                (eps_student - jax.lax.stop_gradient(eps_tgt)) ** 2
+            )
         x0_student = (x_t - s_t * eps_student) / a_t
         snr = (a_t * a_t) / (s_t * s_t)
         w = jnp.maximum(snr, 1.0)
@@ -212,6 +224,7 @@ def make_distill_step(
     dataset_std: float = 1.0,
     guidance_weight: float = 1.0,
     x0_clip: float = 2.0,
+    loss_space: str = "x0_snr",
 ):
     """Jitted single distill step. ``teacher_params`` is argument 1 and is
     NOT donated — keep it device-resident across calls (a host numpy tree
@@ -221,6 +234,7 @@ def make_distill_step(
         denoiser, cond_proj, schedule, cfg, tx, num_student_steps,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
         guidance_weight=guidance_weight, x0_clip=x0_clip,
+        loss_space=loss_space,
     )
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -245,6 +259,7 @@ def make_device_data_multistep_distill(
     dataset_std: float = 1.0,
     guidance_weight: float = 1.0,
     x0_clip: float = 2.0,
+    loss_space: str = "x0_snr",
 ):
     """K fused distill steps over a DEVICE-RESIDENT dataset.
 
@@ -261,6 +276,7 @@ def make_device_data_multistep_distill(
         denoiser, cond_proj, schedule, cfg, tx, num_student_steps,
         dataset_mean=dataset_mean, dataset_std=dataset_std,
         guidance_weight=guidance_weight, x0_clip=x0_clip,
+        loss_space=loss_space,
     )
     bsh = batch_sharding(mesh) if mesh is not None else None
 
