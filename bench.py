@@ -144,7 +144,9 @@ def main():
             out = sampler(params, jax.random.key(10), (bs, T, cfg.in_dim), mfb, tfb)
             out.block_until_ready()
             bt = time.perf_counter() - t0
-            bfwd = jax.jit(lambda p, x, t, m, l: denoiser.apply(
+            # count on the unfused forward (cost analysis can't see inside
+            # Pallas kernels; same math either way)
+            bfwd = jax.jit(lambda p, x, t, m, l: denoiser_count.apply(
                 p, x, t, m, l, uncond_rows=bs))
             bflops = compiled_flops(
                 bfwd, params,

@@ -31,6 +31,11 @@ from lm2a_tpu.models.embedding import TimestepEmbedding
 
 Dtype = Any
 
+# Serving-path fused resblock engages only up to this many batch rows: its
+# grid iterates rows serially, so XLA's batched matmuls win past CFG-pair
+# size (measured DEVNOTES "Fused resblock kernel" entry).
+FUSED_RESBLOCK_MAX_B = 2
+
 
 def default_num_groups(channels: int) -> int:
     """Largest of (8, 4, 2, 1) dividing ``channels``."""
@@ -164,6 +169,11 @@ class ResBlockUltimate(nn.Module):
             and deterministic
             and t_emb is not None
             and not self.is_initializing()
+            # the kernel walks batch rows serially (grid=(B,)); measured on
+            # chip it wins the 1-2 row serving forwards (0.879 -> 0.814 s
+            # per 1000-step chain) but LOSES to XLA's cross-batch matmul
+            # batching at 16 rows (B=8 CFG: 4.53 -> 4.90 s) — gate on rows
+            and x.shape[0] <= FUSED_RESBLOCK_MAX_B
         ):
             fused = self._fused_chain(x, t_emb)
         if fused is not None:
