@@ -173,7 +173,10 @@ def main():
         try:
             from lm2a_tpu.vocoder import BIGVGAN_22KHZ_80BAND, BigVGANGenerator
 
-            voc = BigVGANGenerator(cfg=BIGVGAN_22KHZ_80BAND, dtype=jnp.bfloat16)
+            voc = BigVGANGenerator(
+                cfg=BIGVGAN_22KHZ_80BAND,
+                fused_sandwich=jax.default_backend() == "tpu",
+                dtype=jnp.bfloat16)
             mel = jax.random.normal(jax.random.key(11), (1, T, 80), jnp.float32)
             vparams = jax.jit(voc.init)(jax.random.key(12), mel)
             wav_shape = jax.eval_shape(voc.apply, vparams, mel).shape

@@ -27,9 +27,15 @@ class Vocoder:
         weights_path: Optional[str] = None,
         cfg: VocoderConfig = BIGVGAN_22KHZ_80BAND,
         compute_dtype=jnp.bfloat16,
+        fused_sandwich: Optional[bool] = None,
     ):
+        if fused_sandwich is None:
+            # fused Pallas snake sandwich on TPU (identical numerics,
+            # measured serving win); XLA polyphase elsewhere
+            fused_sandwich = jax.default_backend() == "tpu"
         self.cfg = cfg
-        self.model = BigVGANGenerator(cfg=cfg, dtype=compute_dtype)
+        self.model = BigVGANGenerator(
+            cfg=cfg, fused_sandwich=fused_sandwich, dtype=compute_dtype)
         if weights_path:
             from lm2a_tpu.vocoder.convert import load_bigvgan_torch
 

@@ -323,3 +323,56 @@ class TestScipyPolyphaseOracle:
             seg = ours[0, trim:-trim, c]
             err = float(np.max(np.abs(seg - expect[trim:trim + len(seg)])))
             assert err < 1e-4, f"channel {c}: max interior error {err}"
+
+
+class TestFusedSandwich:
+    """The Pallas fused up2x->snake->down2x kernel (interpret mode on CPU)
+    must match the XLA polyphase path exactly."""
+
+    def _ref(self, x, alpha, beta):
+        y = upsample2x(x)
+        y = y + jnp.sin(alpha * y) ** 2 / (beta + 1e-9)
+        return downsample2x(y)
+
+    @pytest.mark.parametrize(
+        "shape", [(1, 37, 8), (2, 64, 8), (1, 516, 24), (2, 130, 16),
+                  (1, 1, 8), (1, 129, 8)])
+    def test_matches_xla_path(self, shape):
+        from lm2a_tpu.vocoder.pallas_sandwich import fused_snake_sandwich
+
+        rng = np.random.default_rng(sum(shape))
+        b, t, c = shape
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        alpha = jnp.asarray(rng.uniform(0.3, 2.0, (c,)), jnp.float32)
+        beta = jnp.asarray(rng.uniform(0.3, 2.0, (c,)), jnp.float32)
+        got = fused_snake_sandwich(x, alpha, beta)
+        ref = self._ref(x, alpha, beta)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+    def test_multi_block_grid(self):
+        """T spanning several ragged grid blocks exercises the neighbor
+        halos and both boundary fixes at true block seams."""
+        from lm2a_tpu.vocoder import pallas_sandwich as ps
+
+        rng = np.random.default_rng(0)
+        c = 64
+        bt = max(128, min(16384, (ps._TARGET_ELEMS // c) // 128 * 128))
+        t = 3 * bt + 77  # 4 blocks, last one ragged
+        x = jnp.asarray(rng.standard_normal((1, t, c)), jnp.float32)
+        alpha = jnp.asarray(rng.uniform(0.3, 2.0, (c,)), jnp.float32)
+        beta = jnp.asarray(rng.uniform(0.3, 2.0, (c,)), jnp.float32)
+        got = ps.fused_snake_sandwich(x, alpha, beta)
+        ref = self._ref(x, alpha, beta)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=2e-5)
+
+    def test_generator_fused_matches_unfused(self):
+        rng = np.random.default_rng(3)
+        mel = jnp.asarray(
+            rng.standard_normal((1, 24, TINY.num_mels)), jnp.float32)
+        base = BigVGANGenerator(cfg=TINY, dtype=jnp.float32)
+        params = base.init(jax.random.key(0), mel)
+        ref = base.apply(params, mel)
+        fused = BigVGANGenerator(cfg=TINY, fused_sandwich=True,
+                                 dtype=jnp.float32)
+        got = fused.apply(params, mel)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
