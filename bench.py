@@ -41,10 +41,12 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
 
-    # production defaults; LM2A_FUSED_RESBLOCK=0 opts out of the Pallas
-    # fused-resblock serving kernel for A/B runs
+    # production defaults; LM2A_FUSED_RESBLOCK=0 / LM2A_FOLDED_ATTENTION=0
+    # opt out of the Pallas fused-resblock kernel / the folded cross-attention
+    # algebra for A/B runs
     cfg = ModelConfig(
-        fused_resblock=os.environ.get("LM2A_FUSED_RESBLOCK", "1") == "1"
+        fused_resblock=os.environ.get("LM2A_FUSED_RESBLOCK", "1") == "1",
+        folded_attention=os.environ.get("LM2A_FOLDED_ATTENTION", "1") == "1",
     )
     B, T, steps, guidance = 1, 516, 1000, 2.1
 

@@ -60,6 +60,12 @@ class ModelConfig:
     # Route attention cores through the Pallas flash kernel (VMEM-resident
     # scores); numerically equivalent to the XLA path within fp tolerance.
     fused_attention: bool = False
+    # Serving-only: fold the cross-attention linear algebra — merged Q
+    # matmul, branch-stacked score/AV einsums, and the per-branch out_proj +
+    # concat + fuse_proj collapsed into one matmul whose weight products are
+    # scan-invariant (XLA hoists them out of the sampling loop). Same
+    # parameters and math up to float reassociation; inert during init.
+    folded_attention: bool = False
     # Serving-only fused resblock kernel (ops/pallas_resblock.py): the whole
     # GN+SiLU+conv3+FiLM+GN+SiLU+conv3 chain in one Pallas call per block.
     # Inert during init/training (those keep the XLA path).

@@ -59,6 +59,7 @@ def load_models(
     prefer_ema: bool = True,
     compute_dtype: str = "bfloat16",
     fused_resblock: Optional[bool] = None,
+    folded_attention: Optional[bool] = None,
 ) -> LoadedModels:
     """Load a framework checkpoint dir or a reference torch checkpoint file.
 
@@ -66,6 +67,13 @@ def load_models(
     through the Pallas fused kernel on TPU (measured ~2% off the 1000-step
     chain, exact within bf16 tolerance); init/training are unaffected by
     construction. Pass False to force the plain XLA path.
+
+    ``folded_attention`` None = auto: serving folds the cross-attention
+    linear algebra (merged Q matmul, branch-stacked cores, out/fuse
+    projections collapsed to one hoisted-weight matmul) — measured 10.9%
+    off the 2-row CFG serving step and neutral-positive at batched
+    geometries, same parameters and math up to float reassociation. Enabled
+    on every backend (it is a pure XLA rewrite, not a TPU kernel).
     """
     mean, std = FALLBACK_MEL_MEAN, FALLBACK_MEL_STD
     timesteps = None
@@ -73,13 +81,22 @@ def load_models(
 
     if fused_resblock is None:
         fused_resblock = jax.default_backend() == "tpu"
+    if folded_attention is None:
+        folded_attention = True
 
     def _with_fused(c: LM2AConfig) -> LM2AConfig:
         import dataclasses as _dc
 
-        if c.model.fused_resblock == fused_resblock:
+        if (
+            c.model.fused_resblock == fused_resblock
+            and c.model.folded_attention == folded_attention
+        ):
             return c
-        return _dc.replace(c, model=_dc.replace(c.model, fused_resblock=fused_resblock))
+        return _dc.replace(c, model=_dc.replace(
+            c.model,
+            fused_resblock=fused_resblock,
+            folded_attention=folded_attention,
+        ))
 
     if os.path.isdir(ckpt_path):  # our checkpoint layout
         from lm2a_tpu.core.config import config_from_dict

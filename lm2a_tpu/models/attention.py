@@ -76,6 +76,21 @@ class CrossAttentionFusion(nn.Module):
     ``mel_hidden (B,T,C)``; ``motion_f``/``text_f (B,T,cond_dim)`` are first
     projected to C so K/V width matches Q, then each branch cross-attends and
     the concatenated results are fused by a Dense(2C -> C).
+
+    ``folded=True`` (serving-only rewrite, same parameters) collapses the
+    linear algebra around the two attention cores:
+
+    - the two branches' Q projections run as ONE ``(C -> 2C)`` matmul over
+      concatenated kernels (the concat is parameter-only, hoisted out of the
+      sampling scan by XLA — scripts/audit_sampler_licm.py);
+    - score/AV einsums carry a branch axis instead of running twice;
+    - per-branch ``out_proj`` followed by concat + ``fuse_proj`` is exactly
+      ``core_m @ (Wo_m Wf_top) + core_l @ (Wo_l Wf_bot) + folded_bias`` — the
+      weight-weight products are scan-invariant and hoisted, halving the
+      per-step output-path matmul FLOPs (4 C^2 T -> 2 C^2 T MACs per site).
+
+    Identical math to the unfolded path up to float reassociation; the folded
+    products are computed in fp32 before casting to the compute dtype.
     """
 
     mel_dim: int
@@ -83,9 +98,59 @@ class CrossAttentionFusion(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     fused: bool = False
+    folded: bool = False
+
+    def _folded(self, mel_hidden, motion_f, text_f):
+        p = self.variables["params"]
+        dt = self.dtype
+        e, h = self.mel_dim, self.num_heads
+        hd = e // h
+        b, t = mel_hidden.shape[0], mel_hidden.shape[1]
+
+        wq = jnp.concatenate(
+            [p["attn_motion"]["q_proj"]["kernel"],
+             p["attn_text"]["q_proj"]["kernel"]], axis=-1,
+        ).astype(dt)
+        bq = jnp.concatenate(
+            [p["attn_motion"]["q_proj"]["bias"],
+             p["attn_text"]["q_proj"]["bias"]],
+        ).astype(dt)
+        q = mel_hidden.astype(dt) @ wq + bq  # (B, T, 2e), one matmul
+        q = q.reshape(b, t, 2, h, hd)
+
+        ks, vs = [], []
+        for branch, cond in (("motion", motion_f), ("text", text_f)):
+            kv_p = p[f"{branch}_kv_proj"]
+            kv = cond.astype(dt) @ kv_p["kernel"].astype(dt) + kv_p["bias"].astype(dt)
+            a = p[f"attn_{branch}"]
+            ks.append(kv @ a["k_proj"]["kernel"].astype(dt) + a["k_proj"]["bias"].astype(dt))
+            vs.append(kv @ a["v_proj"]["kernel"].astype(dt) + a["v_proj"]["bias"].astype(dt))
+        s = ks[0].shape[1]
+        k = jnp.stack(ks, axis=2).reshape(b, s, 2, h, hd)
+        v = jnp.stack(vs, axis=2).reshape(b, s, 2, h, hd)
+
+        scores = jnp.einsum("bqnhd,bknhd->bnhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, dtype=q.dtype)
+        )
+        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        core = jnp.einsum("bnhqk,bknhd->bqnhd", probs, v)  # (B, T, 2, h, hd)
+        core = core.reshape(b, t, 2 * e)
+
+        wf = p["fuse_proj"]["kernel"].astype(jnp.float32)  # (2e, e)
+        wo_m = p["attn_motion"]["out_proj"]["kernel"].astype(jnp.float32)
+        wo_l = p["attn_text"]["out_proj"]["kernel"].astype(jnp.float32)
+        w = jnp.concatenate([wo_m @ wf[:e], wo_l @ wf[e:]], axis=0).astype(dt)
+        bias = (
+            p["attn_motion"]["out_proj"]["bias"].astype(jnp.float32) @ wf[:e]
+            + p["attn_text"]["out_proj"]["bias"].astype(jnp.float32) @ wf[e:]
+            + p["fuse_proj"]["bias"].astype(jnp.float32)
+        ).astype(dt)
+        return core @ w + bias
 
     @nn.compact
     def __call__(self, mel_hidden, motion_f, text_f):
+        if self.folded and not self.fused and not self.is_initializing():
+            return self._folded(mel_hidden, motion_f, text_f)
         motion_kv = nn.Dense(self.mel_dim, dtype=self.dtype, name="motion_kv_proj")(
             motion_f.astype(self.dtype)
         )

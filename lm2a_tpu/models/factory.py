@@ -27,6 +27,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             dropout=cfg.dropout,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
+            folded_attention=cfg.folded_attention,
             fused_resblock=cfg.fused_resblock,
             fused_resblock_grad=cfg.fused_resblock_grad,
             remat=cfg.remat,

@@ -111,6 +111,11 @@ class ResBlockUltimate(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # Serving-only: folded attention linear algebra (merged Q matmul,
+    # branch-stacked cores, out/fuse projections collapsed into one matmul
+    # whose weight products XLA hoists out of the sampling scan). Same
+    # parameters, same math up to float reassociation.
+    folded_attention: bool = False
     # Serving-only: run GN+SiLU+conv3+FiLM+GN+SiLU+conv3 (+1x1 skip) as one
     # Pallas kernel (ops/pallas_resblock.py). Engages only when bound params
     # exist (apply, not init) and deterministic=True; training and oversized
@@ -228,6 +233,7 @@ class ResBlockUltimate(nn.Module):
             num_heads=self.num_heads,
             dtype=self.dtype,
             fused=self.fused_attention,
+            folded=self.folded_attention,
             name="cross_attn",
         )
         if uncond_rows:
@@ -268,6 +274,8 @@ class UNet1DUltimate(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # serving-only folded attention algebra (see ResBlockUltimate)
+    folded_attention: bool = False
     # serving-only fused resblock kernel (see ResBlockUltimate.fused_resblock)
     fused_resblock: bool = False
     # training-path fused resblock with Pallas backward (custom VJP)
@@ -308,6 +316,7 @@ class UNet1DUltimate(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 fused_attention=self.fused_attention,
+                folded_attention=self.folded_attention,
                 fused_resblock=self.fused_resblock,
                 fused_resblock_grad=self.fused_resblock_grad,
                 name=name,

@@ -68,6 +68,7 @@ def bench(name, cfg, cond=True, uncond_rows=1, rows=2):
 def main():
     base = ModelConfig(fused_resblock=True)
     full = bench("full (fused, fold)", base)
+    bench("+ folded attention", dc.replace(base, folded_attention=True))
     bench("no uncond fold", base, uncond_rows=0)
     bench("unfused resblock", dc.replace(base, fused_resblock=False))
     noc = bench("no conditions (no attn)", base, cond=False)

@@ -315,3 +315,79 @@ class TestUncondConstantFold:
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(slow), rtol=1e-4, atol=1e-5
         )
+
+
+class TestFoldedAttention:
+    """Serving-only folded cross-attention algebra: same params, same math.
+
+    The fold (merged Q matmul, branch-stacked cores, out/fuse projections
+    collapsed into one matmul of hoisted weight products) is an exact linear
+    rewrite of ``CrossAttentionFusion`` — equality up to float reassociation.
+    """
+
+    def test_module_matches_unfolded(self):
+        from lm2a_tpu.models.attention import CrossAttentionFusion
+
+        m = CrossAttentionFusion(mel_dim=64, cond_dim=32, num_heads=4)
+        mf = CrossAttentionFusion(mel_dim=64, cond_dim=32, num_heads=4,
+                                  folded=True)
+        key = jax.random.key(0)
+        h = jax.random.normal(key, (2, 37, 64))
+        mo = jax.random.normal(jax.random.key(1), (2, 37, 32))
+        tx = jax.random.normal(jax.random.key(2), (2, 37, 32))
+        params = m.init(key, h, mo, tx)
+        np.testing.assert_allclose(
+            np.asarray(mf.apply(params, h, mo, tx)),
+            np.asarray(m.apply(params, h, mo, tx)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_unet_matches_with_uncond_fold(self):
+        """Full UNet, folded vs plain, including the uncond_rows const path."""
+        import dataclasses as dc
+
+        from lm2a_tpu.core.config import ModelConfig
+        from lm2a_tpu.models.factory import build_denoiser
+
+        cfg = ModelConfig(
+            base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+            num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        )
+        den = build_denoiser(cfg, "float32")
+        denf = build_denoiser(dc.replace(cfg, folded_attention=True), "float32")
+        key = jax.random.key(0)
+        x = jax.random.normal(key, (3, 24, 80), jnp.float32)
+        tt = jnp.array([5, 100, 900], jnp.int32)
+        mo = jax.random.normal(jax.random.key(1), (3, 24, cfg.cond_dim))
+        tx = jax.random.normal(jax.random.key(2), (3, 24, cfg.cond_dim))
+        mo = mo.at[0].set(0.0)
+        tx = tx.at[0].set(0.0)
+        params = den.init(key, x, tt, mo, tx)
+        plain = den.apply(params, x, tt, mo, tx, uncond_rows=1)
+        folded = denf.apply(params, x, tt, mo, tx, uncond_rows=1)
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(plain), rtol=1e-4, atol=1e-5
+        )
+
+    def test_init_param_structure_unchanged(self):
+        """folded init runs the regular path: identical parameter tree."""
+        import dataclasses as dc
+
+        from lm2a_tpu.core.config import ModelConfig
+        from lm2a_tpu.models.factory import build_denoiser
+
+        cfg = ModelConfig(
+            base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+            num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        )
+        key = jax.random.key(0)
+        x = jax.random.normal(key, (1, 24, 80), jnp.float32)
+        tt = jnp.zeros((1,), jnp.int32)
+        mo = jax.random.normal(key, (1, 24, cfg.cond_dim))
+        tx = jax.random.normal(key, (1, 24, cfg.cond_dim))
+        p0 = build_denoiser(cfg, "float32").init(key, x, tt, mo, tx)
+        p1 = build_denoiser(
+            dc.replace(cfg, folded_attention=True), "float32"
+        ).init(key, x, tt, mo, tx)
+        assert jax.tree.map(lambda a: a.shape, p0) == \
+            jax.tree.map(lambda a: a.shape, p1)
