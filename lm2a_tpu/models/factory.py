@@ -42,6 +42,7 @@ def build_denoiser(cfg: ModelConfig, compute_dtype: str = "float32"):
             attn_heads=cfg.attn_heads,
             dtype=dtype,
             fused_attention=cfg.fused_attention,
+            folded_attention=cfg.folded_attention,
         )
     raise ValueError(f"unknown arch {cfg.arch!r}; use 'ultimate' or 'v1'")
 

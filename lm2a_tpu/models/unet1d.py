@@ -368,6 +368,7 @@ class ResBlockV1(nn.Module):
     num_heads: int = 4
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    folded_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, motion_f, text_f, uncond_rows=0):
@@ -381,7 +382,8 @@ class ResBlockV1(nn.Module):
         attn = CrossAttentionFusion(
             mel_dim=self.channels, cond_dim=self.cond_dim,
             num_heads=self.num_heads, dtype=self.dtype,
-            fused=self.fused_attention, name="cross_attn",
+            fused=self.fused_attention, folded=self.folded_attention,
+            name="cross_attn",
         )
         if uncond_rows:
             # see ResBlockUltimate: zero conditions make the attention output
@@ -413,6 +415,8 @@ class UNet1D(nn.Module):
     attn_heads: int = 4
     dtype: Dtype = jnp.float32
     fused_attention: bool = False
+    # serving-only folded attention algebra (see CrossAttentionFusion)
+    folded_attention: bool = False
 
     @nn.compact
     def __call__(self, x, t, motion_f=None, text_f=None, *, deterministic=True,
@@ -429,6 +433,7 @@ class UNet1D(nn.Module):
             h = ResBlockV1(
                 prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
                 dtype=self.dtype, fused_attention=self.fused_attention,
+                folded_attention=self.folded_attention,
                 name=f"down_{i}_res",
             )(h, t_emb, motion_f, text_f, uncond_rows)
             skips.append(h)
@@ -442,6 +447,7 @@ class UNet1D(nn.Module):
         h = ResBlockV1(
             prev_dim, cond_dim=self.cond_dim, num_heads=self.attn_heads,
             dtype=self.dtype, fused_attention=self.fused_attention,
+            folded_attention=self.folded_attention,
             name="mid_res",
         )(h, t_emb, motion_f, text_f, uncond_rows)
 
@@ -457,6 +463,7 @@ class UNet1D(nn.Module):
             h = ResBlockV1(
                 dim + skip_ch, cond_dim=self.cond_dim, num_heads=self.attn_heads,
                 dtype=self.dtype, fused_attention=self.fused_attention,
+                folded_attention=self.folded_attention,
                 name=f"up_{i}_res",
             )(h, t_emb, motion_f, text_f, uncond_rows)
             prev_dim = dim + skip_ch

@@ -6,6 +6,7 @@ runs it — 2 rows (cond + folded-uncond) — chained under lax.scan.
 Measured round 2 (PROFILE_STEPS=1000, v5e):
 
     full (fused, fold)              0.788 ms/step
+    + folded attention              0.698 ms/step
     no uncond fold                  0.975 ms/step
     unfused resblock                0.846 ms/step
     no conditions (no attn)         0.467 ms/step

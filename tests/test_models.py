@@ -342,7 +342,8 @@ class TestFoldedAttention:
             rtol=1e-4, atol=1e-5,
         )
 
-    def test_unet_matches_with_uncond_fold(self):
+    @pytest.mark.parametrize("arch", ["ultimate", "v1"])
+    def test_unet_matches_with_uncond_fold(self, arch):
         """Full UNet, folded vs plain, including the uncond_rows const path."""
         import dataclasses as dc
 
@@ -350,8 +351,8 @@ class TestFoldedAttention:
         from lm2a_tpu.models.factory import build_denoiser
 
         cfg = ModelConfig(
-            base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
-            num_res_blocks=1, mid_blocks=1, attn_heads=2,
+            arch=arch, base_dim=16, dim_mults=(1, 2), cond_dim=8,
+            time_emb_dim=16, num_res_blocks=1, mid_blocks=1, attn_heads=2,
         )
         den = build_denoiser(cfg, "float32")
         denf = build_denoiser(dc.replace(cfg, folded_attention=True), "float32")
