@@ -48,6 +48,11 @@ def build_parser(p=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--opt_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the Adan moment trees (math stays "
+                        "fp32); bfloat16 halves optimizer HBM traffic on the "
+                        "bandwidth-bound fused step")
     p.add_argument("--amp", action="store_true",
                    help="accepted for reference-script compatibility "
                         "(bf16 is the TPU mixed-precision default)")
@@ -126,6 +131,7 @@ def config_from_args(args):
             lr_decay_steps=decay_steps,
             lr_decay_factors=decay_factors,
             compute_dtype=args.compute_dtype,
+            opt_dtype=args.opt_dtype,
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
             device_data=args.device_data,

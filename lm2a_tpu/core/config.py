@@ -111,6 +111,11 @@ class TrainConfig:
     lr_decay_factors: Tuple[float, ...] = ()
     # bf16 activations on TPU replace the reference's fp16 AMP+GradScaler
     compute_dtype: str = "bfloat16"
+    # storage dtype of the Adan moment/prev-grad trees (math stays fp32).
+    # "bfloat16" halves the optimizer's HBM traffic — the train step is
+    # optimizer-bandwidth-bound after fwd+bwd (profile_train_breakdown.py);
+    # fp32 default preserves the reference's exact optimizer trajectory
+    opt_dtype: str = "float32"
     # optimizer steps fused into one dispatch via lax.scan (1 = classic loop);
     # amortizes host/dispatch latency, at the cost of coarser logging
     steps_per_call: int = 1

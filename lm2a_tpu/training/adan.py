@@ -42,22 +42,39 @@ def adan(
     betas: Tuple[float, float, float] = (0.02, 0.08, 0.01),
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    state_dtype: Union[str, jnp.dtype, None] = None,
 ) -> optax.GradientTransformation:
+    """``state_dtype`` sets the STORAGE dtype of the m/v/n/prev_grad trees
+    (``None`` = match params, the reference behavior). All update math runs
+    in fp32 regardless. ``bfloat16`` halves the optimizer's HBM read+write
+    traffic — the fused train step is bandwidth-bound on optimizer state
+    after fwd+bwd (``scripts/profile_train_breakdown.py``) — at the cost of
+    ~8-bit moment storage; the reference trajectory needs fp32.
+    """
     b1, b2, b3 = betas
+    sd = jnp.dtype(state_dtype) if state_dtype is not None else None
+
+    def store(x):
+        return x.astype(sd) if sd is not None else x
 
     def lr_at(step):
         if callable(learning_rate):
             return learning_rate(step)
         return jnp.asarray(learning_rate, dtype=jnp.float32)
 
+    def zeros_like_state(params):
+        return jax.tree.map(
+            lambda p: jnp.zeros(p.shape, sd if sd is not None else p.dtype),
+            params,
+        )
+
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
         return AdanState(
             step=jnp.zeros((), jnp.int32),
-            m=zeros,
-            v=jax.tree.map(jnp.zeros_like, params),
-            n=jax.tree.map(jnp.zeros_like, params),
-            prev_grad=jax.tree.map(jnp.zeros_like, params),
+            m=zeros_like_state(params),
+            v=zeros_like_state(params),
+            n=zeros_like_state(params),
+            prev_grad=zeros_like_state(params),
         )
 
     def update_fn(grads, state, params):
@@ -65,13 +82,19 @@ def adan(
             raise ValueError("adan requires params (decoupled weight decay)")
         warm = (state.step > 0).astype(jnp.float32)  # moments frozen at step 0
 
+        def f32(x):
+            return x.astype(jnp.float32)
+
         def upd_m(m, g):
+            m, g = f32(m), f32(g)
             return m + warm * ((1.0 - b1) * m + b1 * g - m)
 
         def upd_v(v, g, pg):
+            v, g, pg = f32(v), f32(g), f32(pg)
             return v + warm * ((1.0 - b2) * v + b2 * (g - pg) - v)
 
         def upd_n(n, g, pg):
+            n, g, pg = f32(n), f32(g), f32(pg)
             tgt = (1.0 - b3) * n + b3 * (g + (1.0 - b2) * (g - pg)) ** 2
             return n + warm * (tgt - n)
 
@@ -92,7 +115,13 @@ def adan(
             return (p - raw) / denom - p
 
         updates = jax.tree.map(delta, params, m, v, n)
-        new_state = AdanState(step=step, m=m, v=v, n=n, prev_grad=grads)
+        new_state = AdanState(
+            step=step,
+            m=jax.tree.map(store, m),
+            v=jax.tree.map(store, v),
+            n=jax.tree.map(store, n),
+            prev_grad=jax.tree.map(store, grads),
+        )
         return updates, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -84,7 +84,18 @@ def save_checkpoint(
     step = int(host_state.step)
     path = checkpoint_path(ckpt_dir, step)
     flat, _ = jax.tree_util.tree_flatten_with_path(host_state)
-    arrays = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in flat}
+
+    def _npz_safe(a):
+        # np.savez writes ml_dtypes arrays (bf16 optimizer state with
+        # --opt_dtype bfloat16) as raw void bytes and load returns '|V2';
+        # store the bit pattern as uint16 instead — restore_checkpoint
+        # views it back through the template's dtype.
+        a = np.asarray(a)
+        if a.dtype.kind not in "biufc":  # bfloat16 etc.
+            return a.view(np.uint16) if a.dtype.itemsize == 2 else a
+        return a
+
+    arrays = {jax.tree_util.keystr(kp): _npz_safe(leaf) for kp, leaf in flat}
     meta = {
         "step": step,
         "epoch": epoch,
@@ -158,6 +169,10 @@ def restore_checkpoint(path: str, state_template) -> Tuple[Any, dict]:
                         f"checkpoint leaf {jax.tree_util.keystr(kp)} has shape "
                         f"{arr.shape}, template expects {np.shape(tmpl)}"
                     )
+                tdt = np.dtype(getattr(tmpl, "dtype", arr.dtype))
+                if arr.dtype != tdt and arr.dtype.itemsize == tdt.itemsize:
+                    # bf16 state was stored as its uint16 bit pattern
+                    arr = arr.view(tdt)
                 leaves.append(arr)
             state = jax.tree_util.tree_unflatten(treedef, leaves)
     else:  # orbax fallback for checkpoints written before the npz format

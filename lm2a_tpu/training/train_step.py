@@ -71,7 +71,8 @@ def init_train_state(
 def make_optimizer(cfg: LM2AConfig) -> optax.GradientTransformation:
     tc = cfg.train
     lr = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
-    opt = adan(lr, weight_decay=tc.weight_decay)
+    state_dtype = None if tc.opt_dtype in ("", "float32") else tc.opt_dtype
+    opt = adan(lr, weight_decay=tc.weight_decay, state_dtype=state_dtype)
     if tc.grad_clip and tc.grad_clip > 0:
         return optax.chain(optax.clip_by_global_norm(tc.grad_clip), opt)
     return opt

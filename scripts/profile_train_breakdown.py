@@ -12,7 +12,10 @@ plus XLA cost-analysis FLOPs of the forward and full step, parameter count,
 and the implied MFU / HBM-traffic numbers. Serving reaches 73% MFU; this
 locates the training gap (bwd efficiency vs optimizer bandwidth).
 
-Usage: python scripts/profile_train_breakdown.py [K] [reps]
+Usage: python scripts/profile_train_breakdown.py [K] [reps] [fp32|bf16]
+
+The optional third arg sets ``TrainConfig.opt_dtype`` (storage dtype of the
+Adan moment trees) for the before/after of the bf16-optimizer-state lever.
 """
 
 import sys
@@ -53,19 +56,30 @@ def synth_data(key):
     }
 
 
-def median_chain(fn, args_fn, label):
-    """fn is jitted; args_fn(rep) -> args. Times REPS chains, median."""
-    out = fn(*args_fn(-1))  # compile + warm
+def median_chain(fn, args_fn, label, thread_state=False):
+    """fn is jitted; args_fn(rep) -> args. Times REPS chains, median.
+
+    ``thread_state=True`` marks fns that DONATE their first argument and
+    return the new state first: the returned state is threaded into the next
+    rep's args (reusing the original reads donated buffers — the crash that
+    killed the first run of this script).
+    """
+    out = fn(*args_fn(-1))  # compile + warm (discarded: first-run trap)
+    state = out[0] if thread_state else None
     jax.tree.map(lambda x: x.block_until_ready(), out)
     times = []
     for r in range(REPS):
         a = args_fn(r)
+        if thread_state:
+            a = (state,) + a[1:]
         t0 = time.perf_counter()
         out = fn(*a)
         # value fetch, not block_until_ready (DEVNOTES trap)
         leaves = jax.tree.leaves(out)
         float(jnp.abs(leaves[-1]).sum())
         times.append(time.perf_counter() - t0)
+        if thread_state:
+            state = out[0]
     ms = sorted(times)[len(times) // 2] / K * 1e3
     print(f"{label:>7}: {ms:8.2f} ms/step   (reps {['%.1f' % (t/K*1e3) for t in times]})",
           flush=True)
@@ -74,6 +88,12 @@ def median_chain(fn, args_fn, label):
 
 def main():
     cfg = LM2AConfig()
+    opt_dtype = sys.argv[3] if len(sys.argv) > 3 else "fp32"
+    if opt_dtype == "bf16":
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, opt_dtype="bfloat16"))
+        print("opt_dtype: bfloat16 Adan moments", flush=True)
     denoiser = build_denoiser(cfg.model, cfg.train.compute_dtype)
     cond_proj = build_cond_projection(cfg.model, cfg.train.compute_dtype)
     schedule = make_schedule(cfg.diffusion)
@@ -120,8 +140,8 @@ def main():
             return loss + jnp.sum(g0).astype(loss.dtype) * 1e-30, loss
         return jax.lax.scan(body, 0.0, (idx, offsets))[1]
 
-    # ---- optimizer only (fixed grads) ----
-    @jax.jit
+    # ---- optimizer only (fixed grads; donated state like production) ----
+    @partial(jax.jit, donate_argnums=0)
     def opt_chain(state, grads):
         def body(st, _):
             updates, opt_state = tx.update(grads, st.opt_state, st.params)
@@ -130,8 +150,8 @@ def main():
                 lambda e, p: e * cfg.train.ema_decay + p * (1 - cfg.train.ema_decay),
                 st.ema_params, params)
             return TrainState(step=st.step + 1, params=params,
-                              ema_params=ema, opt_state=opt_state), st.step
-        return jax.lax.scan(body, state, None, length=K)[1]
+                              ema_params=ema, opt_state=opt_state), st.step + 0.0
+        return jax.lax.scan(body, state, None, length=K)
 
     # ---- full production step ----
     full = make_device_data_multistep(denoiser, cond_proj, schedule, cfg, tx)
@@ -151,8 +171,6 @@ def main():
         state.params, batch1, jax.random.PRNGKey(9)).compile().cost_analysis()["flops"]
     print(f"cost-analysis flops: fwd {fl_fwd:.3e}, fwd+bwd {fl_fb:.3e}", flush=True)
 
-    grads = jax.tree.map(lambda p: jnp.full_like(p, 1e-6), state.params)
-
     ms_fwd = median_chain(
         fwd_chain,
         lambda r: (state.params, idx, jax.random.PRNGKey(100 + r), offsets + r),
@@ -161,12 +179,24 @@ def main():
         fwdbwd_chain,
         lambda r: (state.params, idx, jax.random.PRNGKey(200 + r), offsets + r),
         "fwdbwd")
-    # opt chain donates nothing; reuse state (grads tiny constant effect)
-    ms_opt = median_chain(opt_chain, lambda r: (state, grads), "opt")
+    # opt and full both DONATE the state: give each its own device copy, and
+    # vary grads per rep (identical inputs hit the relay's dedupe cache —
+    # the 0.80 ms "opt" reading of the first run was that artifact).
+    opt_state0 = jax.tree.map(jnp.copy, state)
+    ms_opt = median_chain(
+        opt_chain,
+        lambda r: (opt_state0,
+                   jax.tree.map(lambda p: jnp.full_like(p, 1e-6 * (r + 2)),
+                                state.params)),
+        "opt", thread_state=True)
+    # created after opt's copy is consumed, to bound peak HBM (each state
+    # tree is ~3.2 GB at 134M params)
+    full_state0 = jax.tree.map(jnp.copy, state)
     ms_full = median_chain(
         full,
-        lambda r: (state, data, idx, jax.random.PRNGKey(300 + r), offsets + r),
-        "full")
+        lambda r: (full_state0, data, idx, jax.random.PRNGKey(300 + r),
+                   offsets + r),
+        "full", thread_state=True)
 
     print(f"\nfwd    : {fl_fwd / ms_fwd / 1e9:7.1f} TFLOP/s "
           f"({fl_fwd / ms_fwd / 1e9 / PEAK_TFLOPS * 100:4.1f}% MFU)")
@@ -175,7 +205,8 @@ def main():
     bwd_ms = ms_fb - ms_fwd
     print(f"bwd alone ~{bwd_ms:.2f} ms -> {(fl_fb - fl_fwd) / bwd_ms / 1e9:.1f} TFLOP/s")
     # Adan: read m,v,n,prev_g,params,grads + write m,v,n,prev_g,params; EMA r/w
-    traffic_gb = n_params * 4 * 13 / 1e9
+    sbytes = 2 if opt_dtype == "bf16" else 4  # moment-tree storage dtype
+    traffic_gb = n_params * (4 * 5 + sbytes * 8) / 1e9
     print(f"opt    : {ms_opt:.2f} ms vs ~{traffic_gb / HBM_GBPS * 1e3:.2f} ms "
           f"HBM roofline ({traffic_gb:.1f} GB @ {HBM_GBPS:.0f} GB/s)")
     print(f"full   : {ms_full:.2f} ms (fwd+bwd {ms_fb:.2f} + opt {ms_opt:.2f} "

@@ -62,6 +62,56 @@ class TestAdanOracle:
         for ours, want in zip(traj, ref):
             np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-6)
 
+    def test_bf16_state_tracks_fp32_trajectory(self):
+        """state_dtype='bfloat16' stores moments in bf16 (half the optimizer
+        HBM traffic) but must stay CLOSE to the fp32 trajectory: math is
+        fp32, only storage rounds."""
+        rng = np.random.default_rng(1)
+        p0 = rng.normal(size=(8, 5)).astype(np.float32)
+        grads = [rng.normal(size=(8, 5)).astype(np.float32) for _ in range(8)]
+
+        def run(state_dtype):
+            opt = adan(1e-2, weight_decay=1e-4, state_dtype=state_dtype)
+            params = {"w": jnp.asarray(p0)}
+            state = opt.init(params)
+            for g in grads:
+                updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+                params = {"w": params["w"] + updates["w"]}
+            return np.asarray(params["w"]), state
+
+        got, state = run("bfloat16")
+        want, _ = run(None)
+        assert state.m["w"].dtype == jnp.bfloat16
+        assert state.prev_grad["w"].dtype == jnp.bfloat16
+        # bf16 has ~2^-8 relative storage error; trajectories drift but the
+        # per-step updates are lr-scaled so absolute drift stays ~1e-3 here
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        # and params themselves remain fp32
+        assert got.dtype == np.float32
+
+    def test_opt_dtype_travels_through_config(self):
+        from lm2a_tpu.core.config import (
+            LM2AConfig,
+            config_from_dict,
+            config_to_dict,
+        )
+        import dataclasses
+
+        cfg = LM2AConfig()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, opt_dtype="bfloat16"))
+        rt = config_from_dict(config_to_dict(cfg))
+        assert rt.train.opt_dtype == "bfloat16"
+
+        from lm2a_tpu.training.train_step import make_optimizer
+
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        state = tx.init(params)
+        # optax.chain wraps (clip, adan); the moment trees must store bf16
+        dtypes = {str(x.dtype) for x in jax.tree.leaves(state)}
+        assert "bfloat16" in dtypes
+
     def test_first_step_only_weight_decay(self):
         """Step 1: moments are zero -> pure 1/(1+wd*lr) shrink."""
         opt = adan(0.1, weight_decay=0.5)

@@ -146,6 +146,41 @@ class TestCheckpoint:
         b, lb = step2(jax.tree.map(jnp.copy, restored), make_batch(seed=9), jax.random.key(9))
         assert float(la) == pytest.approx(float(lb), rel=1e-6)
 
+    def test_roundtrip_bf16_opt_state(self, tmp_path):
+        """--opt_dtype bfloat16 moments survive the npz checkpoint format
+        (np.savez writes ml_dtypes as raw void; the backend stores the bit
+        pattern as uint16 and restores through the template dtype)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, opt_dtype="bfloat16"))
+        denoiser = build_denoiser(cfg.model, cfg.train.compute_dtype)
+        cond_proj = build_cond_projection(cfg.model, cfg.train.compute_dtype)
+        schedule = make_schedule(cfg.diffusion)
+        state, tx = init_train_state(
+            denoiser, cond_proj, cfg, jax.random.key(0), seq_len=T_MEL)
+        step = make_train_step(denoiser, cond_proj, schedule, cfg, tx)
+        st = state
+        for i in range(2):
+            st, _ = step(st, make_batch(seed=i), jax.random.key(i))
+
+        ckpt_dir = str(tmp_path / "ckpts_bf16")
+        save_checkpoint(ckpt_dir, st, cfg)
+        template, _ = init_train_state(
+            denoiser, cond_proj, cfg, jax.random.key(0), seq_len=T_MEL)
+        restored, _ = restore_checkpoint(latest_checkpoint(ckpt_dir), template)
+
+        moments = (restored.opt_state if hasattr(restored.opt_state, "m")
+                   else next(s for s in restored.opt_state
+                             if hasattr(s, "m")))
+        dtypes = {str(x.dtype) for x in jax.tree.leaves(moments.m)}
+        assert dtypes == {"bfloat16"}
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            restored.opt_state, jax.device_get(st.opt_state),
+        )
+
 
 class TestMultistep:
     def test_fused_steps_match_sequential(self, setup):
