@@ -53,6 +53,11 @@ def build_parser(p=None):
                    help="storage dtype of the Adan moment trees (math stays "
                         "fp32); bfloat16 halves optimizer HBM traffic on the "
                         "bandwidth-bound fused step")
+    p.add_argument("--fused_opt", type=int, default=1, choices=[0, 1],
+                   help="fold grad-clip into Adan's kernels (bit-identical "
+                        "math, one less gradient-tree pass per step). 0 = "
+                        "chained clip+Adan (round-1 opt-state layout; "
+                        "required to resume checkpoints written with 0)")
     p.add_argument("--amp", action="store_true",
                    help="accepted for reference-script compatibility "
                         "(bf16 is the TPU mixed-precision default)")
@@ -132,6 +137,7 @@ def config_from_args(args):
             lr_decay_factors=decay_factors,
             compute_dtype=args.compute_dtype,
             opt_dtype=args.opt_dtype,
+            fused_opt=bool(args.fused_opt),
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
             device_data=args.device_data,

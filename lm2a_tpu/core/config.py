@@ -116,6 +116,12 @@ class TrainConfig:
     # optimizer-bandwidth-bound after fwd+bwd (profile_train_breakdown.py);
     # fp32 default preserves the reference's exact optimizer trajectory
     opt_dtype: str = "float32"
+    # fold global-norm clipping into Adan's per-leaf kernels instead of
+    # optax.chain(clip_by_global_norm, adan): bit-identical math, one less
+    # full pass over the gradient tree per step. Opt-state layout drops the
+    # chain's tuple wrapper — resume checkpoints with the same flag they
+    # were written with (False = round-1 layout)
+    fused_opt: bool = True
     # optimizer steps fused into one dispatch via lax.scan (1 = classic loop);
     # amortizes host/dispatch latency, at the cost of coarser logging
     steps_per_call: int = 1

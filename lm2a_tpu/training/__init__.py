@@ -1,4 +1,4 @@
-from lm2a_tpu.training.adan import adan, AdanState, make_lr_schedule
+from lm2a_tpu.training.adan import adan, AdanState, flat_adan, make_lr_schedule
 from lm2a_tpu.training.checkpoint import (
     latest_checkpoint,
     list_checkpoints,
@@ -18,6 +18,7 @@ from lm2a_tpu.training.train_step import (
 __all__ = [
     "adan",
     "AdanState",
+    "flat_adan",
     "make_lr_schedule",
     "latest_checkpoint",
     "list_checkpoints",

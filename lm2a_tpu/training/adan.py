@@ -43,6 +43,7 @@ def adan(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     state_dtype: Union[str, jnp.dtype, None] = None,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """``state_dtype`` sets the STORAGE dtype of the m/v/n/prev_grad trees
     (``None`` = match params, the reference behavior). All update math runs
@@ -50,6 +51,15 @@ def adan(
     traffic — the fused train step is bandwidth-bound on optimizer state
     after fwd+bwd (``scripts/profile_train_breakdown.py``) — at the cost of
     ~8-bit moment storage; the reference trajectory needs fp32.
+
+    ``grad_clip > 0`` folds global-norm clipping INTO the update: instead of
+    ``optax.chain(clip_by_global_norm, adan)`` materializing a scaled copy
+    of the whole gradient tree (an extra 2x134M-float HBM pass + one kernel
+    per leaf per step), the ``(g / norm) * clip`` scaling happens at each
+    read inside Adan's fused elementwise kernels. Bit-identical to the
+    chained form: the norm is ``optax.global_norm`` (same reduction order)
+    and the per-element scaling is the same expression clip_by_global_norm
+    applies.
     """
     b1, b2, b3 = betas
     sd = jnp.dtype(state_dtype) if state_dtype is not None else None
@@ -82,19 +92,35 @@ def adan(
             raise ValueError("adan requires params (decoupled weight decay)")
         warm = (state.step > 0).astype(jnp.float32)  # moments frozen at step 0
 
+        if grad_clip and grad_clip > 0:
+            # same reduction clip_by_global_norm computes; the per-element
+            # (g / norm) * clip below matches its rounding order exactly,
+            # applied lazily at each read so no scaled tree materializes
+            g_norm = optax.global_norm(grads)
+            no_clip = g_norm < grad_clip
+        else:
+            no_clip = None
+
         def f32(x):
-            return x.astype(jnp.float32)
+            x = x.astype(jnp.float32)
+            return x
+
+        def fg(g):
+            g = g.astype(jnp.float32)
+            if no_clip is None:
+                return g
+            return jnp.where(no_clip, g, (g / g_norm) * grad_clip)
 
         def upd_m(m, g):
-            m, g = f32(m), f32(g)
+            m, g = f32(m), fg(g)
             return m + warm * ((1.0 - b1) * m + b1 * g - m)
 
         def upd_v(v, g, pg):
-            v, g, pg = f32(v), f32(g), f32(pg)
+            v, g, pg = f32(v), fg(g), f32(pg)
             return v + warm * ((1.0 - b2) * v + b2 * (g - pg) - v)
 
         def upd_n(n, g, pg):
-            n, g, pg = f32(n), f32(g), f32(pg)
+            n, g, pg = f32(n), fg(g), f32(pg)
             tgt = (1.0 - b3) * n + b3 * (g + (1.0 - b2) * (g - pg)) ** 2
             return n + warm * (tgt - n)
 
@@ -120,9 +146,80 @@ def adan(
             m=jax.tree.map(store, m),
             v=jax.tree.map(store, v),
             n=jax.tree.map(store, n),
-            prev_grad=jax.tree.map(store, grads),
+            # prev_grad sees the same (clipped) gradient the moments saw
+            prev_grad=jax.tree.map(lambda g: store(fg(g)), grads),
         )
         return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def flat_adan(
+    learning_rate: ScalarOrSchedule = 1e-3,
+    betas: Tuple[float, float, float] = (0.02, 0.08, 0.01),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    state_dtype: Union[str, jnp.dtype, None] = None,
+    grad_clip: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adan over ONE raveled parameter vector — MEASURED AND REJECTED for
+    the production step; kept as the documented experiment + for optimizer
+    research on flat param spaces.
+
+    The hypothesis: per-leaf optimizer kernels dominate the train step's
+    optimizer tail on TPU — the flagship's 382-leaf tree costs 22.3 ms/step
+    of clip+Adan+EMA where the IDENTICAL math over a single pre-flattened
+    134M-element vector costs 11.2 (``scripts/profile_opt_granularity.py``).
+    The verdict (real-chip chained scans, `scripts/profile_train_breakdown
+    .py` / `profile_flatstate_step.py`): every way of reaching the flat
+    domain from a tree-shaped step costs more than the flat domain saves —
+      - ravel/unravel around tx.update each step: full step 51.1 ms vs the
+        per-leaf 39.2 (the 3x382-piece concat/slice IS the granularity
+        problem, repeated three times);
+      - flat CARRY (ravel once per K-step dispatch, fwd consumes
+        unravel(pflat) views, grads taken w.r.t. the flat vector): 46.3 ms
+        vs 40.4 — the unravel slices + the slice-transpose in the backward
+        cost ~17 ms/step.
+    What survives in production is the cheap four-fifths of the idea:
+    ``adan(grad_clip=...)`` folds clipping into the per-leaf kernels
+    (no scaled-tree materialization) and ``state_dtype=bfloat16`` halves
+    moment traffic. XLA is otherwise optimal for the per-leaf form.
+
+    Identical per-element math to ``optax.chain(clip_by_global_norm, adan)``;
+    only the global-norm reduction order differs (different fp rounding in
+    the norm). State layout differs from the per-leaf form — checkpoints are
+    not interchangeable between forms.
+    """
+    inner = adan(learning_rate, betas, eps, weight_decay, state_dtype)
+
+    def _ravel(tree):
+        return jnp.concatenate([jnp.ravel(x) for x in jax.tree.leaves(tree)])
+
+    def _unravel(vec, tree):
+        leaves, treedef = jax.tree.flatten(tree)
+        out, pos = [], 0
+        for leaf in leaves:
+            out.append(jax.lax.slice(vec, (pos,), (pos + leaf.size,))
+                       .reshape(leaf.shape))
+            pos += leaf.size
+        return jax.tree.unflatten(treedef, out)
+
+    def init_fn(params):
+        return inner.init({"w": _ravel(params)})
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("flat_adan requires params (weight decay)")
+        gflat = _ravel(grads).astype(jnp.float32)
+        if grad_clip and grad_clip > 0:
+            # optax.clip_by_global_norm semantics on the flat vector:
+            # scale only when the norm exceeds the threshold
+            norm = jnp.sqrt(jnp.sum(gflat * gflat))
+            gflat = jnp.where(norm < grad_clip, gflat,
+                              gflat / norm * grad_clip)
+        pflat = _ravel(params)
+        updates, new_state = inner.update({"w": gflat}, state, {"w": pflat})
+        return _unravel(updates["w"], params), new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
 

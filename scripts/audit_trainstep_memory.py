@@ -39,15 +39,34 @@ K = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 B, T, N = 16, 516, 64
 
 
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8, "f64": 8,
+                "u16": 2, "s16": 2}
+
+
+def _shape_bytes(shape: str) -> int:
+    """'f32[16,516,80]{2,1,0}' -> bytes (tuples/invalid -> 0)."""
+    m = re.match(r"([a-z0-9]+)\[([\d,]*)\]", shape)
+    if not m or m.group(1) not in _DTYPE_BYTES:
+        return 0
+    dims = [int(d) for d in m.group(2).split(",") if d] or [1]
+    n = 1
+    for d in dims:
+        n *= d
+    return n * _DTYPE_BYTES[m.group(1)]
+
+
 def count_ops(hlo_text: str):
     """Op histogram of the while-loop body (the scanned step)."""
     # crude but effective: every op line is '  %name = type op(...)'
     body = hlo_text
     convs = len(re.findall(r"= \S+ convolution\(", body))
-    copies = len(re.findall(r"= \S+ copy\(", body))
+    copies = re.findall(r"= (\S+) copy\(", body)
     dots = len(re.findall(r"= \S+ dot\(", body))
     fusions = len(re.findall(r"= \S+ fusion\(", body))
-    return {"convolution": convs, "copy": copies, "dot": dots,
+    copy_bytes = sum(_shape_bytes(s) for s in copies)
+    return {"convolution": convs, "copy": len(copies),
+            "copy_MB": round(copy_bytes / 1e6, 1), "dot": dots,
             "fusion": fusions}
 
 
@@ -103,6 +122,10 @@ def main():
     print(f"while bodies found: {len(bodies)}")
     for i, b in enumerate(bodies):
         print(f"  body[{i}] ops: {count_ops(b)}")
+        sizes = sorted((_shape_bytes(s) for s in
+                        re.findall(r"= (\S+) copy\(", b)), reverse=True)
+        print(f"  body[{i}] top copies MB: "
+              f"{['%.1f' % (x/1e6) for x in sizes[:10]]}")
     print(f"whole-module ops: {count_ops(hlo)}")
 
     # Reference point: convolution count of ONE unscanned fwd+bwd step.

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lm2a_tpu.training.adan import adan, make_lr_schedule
+from lm2a_tpu.training.adan import adan, flat_adan, make_lr_schedule
 
 REF = "/root/reference"
 
@@ -111,6 +111,89 @@ class TestAdanOracle:
         # optax.chain wraps (clip, adan); the moment trees must store bf16
         dtypes = {str(x.dtype) for x in jax.tree.leaves(state)}
         assert "bfloat16" in dtypes
+
+    def test_flat_matches_per_leaf_chain(self):
+        """flat_adan (one raveled clip+Adan pass) follows the per-leaf
+        optax.chain(clip_by_global_norm, adan) trajectory on a multi-leaf
+        tree; only the global-norm reduction order may differ in rounding."""
+        import optax
+
+        rng = np.random.default_rng(3)
+        shapes = {"a": (7, 3), "b": (16,), "c": (2, 5, 4)}
+        p0 = {k: rng.normal(size=s).astype(np.float32) for k, s in shapes.items()}
+        # large grads so the clip actually triggers on some steps
+        grads = [{k: (rng.normal(size=s) * (3.0 if i % 2 else 0.1)).astype(np.float32)
+                  for k, s in shapes.items()} for i in range(6)]
+
+        def run(tx):
+            params = jax.tree.map(jnp.asarray, p0)
+            state = tx.init(params)
+            traj = []
+            for g in grads:
+                updates, state = tx.update(jax.tree.map(jnp.asarray, g),
+                                           state, params)
+                params = optax.apply_updates(params, updates)
+                traj.append(jax.device_get(params))
+            return traj
+
+        ref = run(optax.chain(optax.clip_by_global_norm(1.0),
+                              adan(1e-2, weight_decay=1e-4)))
+        got = run(flat_adan(1e-2, weight_decay=1e-4, grad_clip=1.0))
+        for a, b in zip(got, ref):
+            jax.tree.map(lambda x, y: np.testing.assert_allclose(
+                x, y, rtol=2e-5, atol=1e-7), a, b)
+
+    def test_flat_adan_state_is_one_vector(self):
+        """flat_adan stores each moment as a single raveled vector and the
+        update survives jit (the documented-and-rejected experiment)."""
+        tx = flat_adan(1e-2, weight_decay=1e-4, grad_clip=1.0)
+        params = {"a": jnp.ones((3, 2)), "b": jnp.zeros((5,))}
+        state = tx.init(params)
+        vec_leaves = jax.tree.leaves(state.m)
+        assert len(vec_leaves) == 1 and vec_leaves[0].shape == (11,)
+
+        @jax.jit
+        def step(g, st, p):
+            return tx.update(g, st, p)
+
+        updates, _ = step(jax.tree.map(jnp.ones_like, params), state, params)
+        assert updates["a"].shape == (3, 2) and updates["b"].shape == (5,)
+
+    def test_folded_clip_bit_identical_to_chain(self):
+        """adan(grad_clip=c) == optax.chain(clip_by_global_norm(c), adan)
+        BIT-exactly: same norm reduction, same per-element scaling order,
+        prev_grad stores the clipped gradient."""
+        import optax
+
+        rng = np.random.default_rng(7)
+        shapes = {"a": (9, 4), "b": (21,), "c": (3, 2, 5)}
+        p0 = {k: rng.normal(size=s).astype(np.float32) for k, s in shapes.items()}
+        grads = [{k: (rng.normal(size=s) * (4.0 if i % 2 else 0.05)).astype(np.float32)
+                  for k, s in shapes.items()} for i in range(6)]
+
+        def run(tx):
+            params = jax.tree.map(jnp.asarray, p0)
+            state = tx.init(params)
+            traj = []
+            for g in grads:
+                updates, state = tx.update(jax.tree.map(jnp.asarray, g),
+                                           state, params)
+                params = optax.apply_updates(params, updates)
+                traj.append(jax.device_get(params))
+            return traj, state
+
+        ref, ref_state = run(optax.chain(optax.clip_by_global_norm(1.0),
+                                         adan(1e-2, weight_decay=1e-4)))
+        got, got_state = run(adan(1e-2, weight_decay=1e-4, grad_clip=1.0))
+        for a, b in zip(got, ref):
+            jax.tree.map(
+                lambda x, y: np.testing.assert_array_equal(x, y), a, b)
+        # chain state is (ClipState, AdanState); folded is bare AdanState
+        ref_adan = next(s for s in ref_state if hasattr(s, "prev_grad"))
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)),
+            got_state.prev_grad, ref_adan.prev_grad)
 
     def test_first_step_only_weight_decay(self):
         """Step 1: moments are zero -> pure 1/(1+wd*lr) shrink."""
