@@ -15,6 +15,7 @@ from lm2a_tpu.training.distill import (
     student_time_grid,
 )
 from lm2a_tpu.training.train_step import init_train_state, make_optimizer
+import pytest
 
 CFG = LM2AConfig(
     model=ModelConfig(base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
@@ -103,6 +104,7 @@ class TestDistillStep:
         assert int(student.step) == 8
 
 
+@pytest.mark.slow
 class TestDeviceDataMultistep:
     def test_matches_sequential_single_step(self):
         """The fused device-data path (scan + on-device gather) runs the

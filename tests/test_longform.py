@@ -82,6 +82,7 @@ class TestGenerateLong:
         assert np.isfinite(mel).all()
 
 
+@pytest.mark.slow
 class TestSinglePass:
     def test_streaming_attention_swaps_in_above_threshold(self):
         """with_streaming_attention returns a fused-attention copy only for

@@ -217,6 +217,7 @@ class TestTorchParity:
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_outputs_and_grads_match(self):
         import jax

@@ -25,6 +25,8 @@ from lm2a_tpu.core.distributed import (
 )
 from lm2a_tpu.core.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # two-process training run (~7 min)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -268,6 +268,7 @@ class TestFusedBackward:
         args = self._args(jax.random.PRNGKey(0), 1, 129, 1024, 1024, False)
         assert fused_resblock_train(*args, groups1=8, groups2=8) is None
 
+    @pytest.mark.slow
     def test_unet_train_grads_match_xla(self):
         """Full UNet training-mode loss + grads with fused_resblock_grad
         match the plain XLA path (dropout disabled for determinism)."""

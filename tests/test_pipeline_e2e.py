@@ -23,6 +23,8 @@ from lm2a_tpu.core.config import (
 from lm2a_tpu.core.mesh import make_mesh
 from lm2a_tpu.utils.audio import write_wav
 
+pytestmark = pytest.mark.slow  # full preprocess->train->sample pipeline (~5 min)
+
 SR = 22050
 
 

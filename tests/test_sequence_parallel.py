@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lm2a_tpu.core.config import DiffusionConfig, ModelConfig
 from lm2a_tpu.core.mesh import make_mesh
@@ -48,6 +49,7 @@ def test_sequence_sharded_matches_unsharded():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sp_train_step_matches_unsharded():
     """(data=2, model=4) sequence-sharded train step == single-device step."""
     from lm2a_tpu.core.config import LM2AConfig, TrainConfig
@@ -96,6 +98,7 @@ def test_sp_train_step_matches_unsharded():
     np.testing.assert_allclose(ea, eb, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_collective_audit_counts_dp_allreduce():
     """The audit sees the gradient all-reduce in the DP step's HLO."""
     from lm2a_tpu.core.config import LM2AConfig, TrainConfig

@@ -78,6 +78,7 @@ class TestShardingRules:
         assert shard_elems == full // 4  # 1/TP of the kernel per device
 
 
+@pytest.mark.slow
 class TestTPTraining:
     def test_tp_step_matches_replicated(self, setup):
         denoiser, cond_proj, schedule, state, tx = setup

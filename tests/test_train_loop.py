@@ -16,6 +16,8 @@ from lm2a_tpu.core.mesh import make_mesh
 from lm2a_tpu.data import Sample, save_sample
 from lm2a_tpu.training import train
 
+pytestmark = pytest.mark.slow  # full training loops with resume (~13 min)
+
 CFG = LM2AConfig(
     model=ModelConfig(
         base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,

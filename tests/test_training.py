@@ -54,6 +54,7 @@ def setup():
     return denoiser, cond_proj, schedule, state, tx
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_single_device_step(self, setup):
         denoiser, cond_proj, schedule, state, tx = setup
@@ -111,6 +112,7 @@ class TestTrainStep:
         assert float(a) == float(b)
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_roundtrip_and_resume_state(self, setup, tmp_path):
         denoiser, cond_proj, schedule, state, tx = setup
@@ -182,6 +184,7 @@ class TestCheckpoint:
         )
 
 
+@pytest.mark.slow
 class TestMultistep:
     def test_fused_steps_match_sequential(self, setup):
         """K scanned steps == K sequential single steps, bitwise same RNG."""
@@ -248,6 +251,7 @@ class TestMultistep:
         assert np.isfinite(res.final_loss)
 
 
+@pytest.mark.slow
 class TestFusedAttentionTraining:
     def test_train_step_with_pallas_attention(self):
         """Gradients flow through the Pallas kernel's custom VJP in a full
@@ -291,6 +295,7 @@ class TestCheckpointRetention:
         assert "ckpt_step_4.meta.json" in names
 
 
+@pytest.mark.slow
 class TestDeviceDataMultistep:
     def test_matches_host_multistep(self, setup):
         """Device-resident gather path == host-stacked multistep, same order."""
