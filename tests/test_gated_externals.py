@@ -10,6 +10,7 @@ driven through (``/root/reference/metrics/clap.py:7-47``,
 
 import sys
 import types
+import zlib
 
 import numpy as np
 import pytest
@@ -36,8 +37,10 @@ def _fake_laion_clap(return_torch: bool, recorded: dict):
 
         def get_audio_embedding_from_filelist(self, x):
             assert isinstance(x, list)  # the real API requires a list
+            # zlib.crc32: stable across processes (str hash() is
+            # randomized per run, which made failures irreproducible)
             embs = np.stack([
-                np.random.default_rng(abs(hash(p)) % 2**32).standard_normal(8)
+                np.random.default_rng(zlib.crc32(p.encode())).standard_normal(8)
                 for p in x
             ]).astype(np.float32)
             return torch.from_numpy(embs) if return_torch else embs
@@ -65,11 +68,14 @@ class TestCLAPContract:
         # the mean/std must be consistent with the per-sample sims
         assert out["mean"] == pytest.approx(float(out["per_sample"].mean()))
         # and the sims must be actual cosines of the stub embeddings
+        # (fp32, matching the evaluator's pipeline; a relative-only
+        # tolerance broke when the embeddings landed on a near-zero cosine)
         def emb(p):
-            return np.random.default_rng(abs(hash(p)) % 2**32).standard_normal(8)
+            return np.random.default_rng(
+                zlib.crc32(p.encode())).standard_normal(8).astype(np.float32)
 
         want = _cosine_sim(emb("a.wav"), emb("c.wav"))
-        assert out["per_sample"][0] == pytest.approx(want, rel=1e-5)
+        assert out["per_sample"][0] == pytest.approx(want, rel=1e-5, abs=1e-7)
 
     def test_local_ckpt_passthrough(self, monkeypatch):
         recorded = {}
