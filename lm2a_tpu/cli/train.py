@@ -53,6 +53,11 @@ def build_parser(p=None):
                    help="storage dtype of the Adan moment trees (math stays "
                         "fp32); bfloat16 halves optimizer HBM traffic on the "
                         "bandwidth-bound fused step")
+    p.add_argument("--rng", dest="rng_impl", default="threefry",
+                   choices=["threefry", "rbg"],
+                   help="PRNG for the training key stream; rbg is the TPU "
+                        "hardware generator (~3%% faster steps, different "
+                        "random stream)")
     p.add_argument("--fused_opt", type=int, default=1, choices=[0, 1],
                    help="fold grad-clip into Adan's kernels (bit-identical "
                         "math, one less gradient-tree pass per step). 0 = "
@@ -137,6 +142,7 @@ def config_from_args(args):
             lr_decay_factors=decay_factors,
             compute_dtype=args.compute_dtype,
             opt_dtype=args.opt_dtype,
+            rng_impl=args.rng_impl,
             fused_opt=bool(args.fused_opt),
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,

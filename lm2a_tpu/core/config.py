@@ -116,6 +116,10 @@ class TrainConfig:
     # optimizer-bandwidth-bound after fwd+bwd (profile_train_breakdown.py);
     # fp32 default preserves the reference's exact optimizer trajectory
     opt_dtype: str = "float32"
+    # PRNG implementation for the training key stream: "threefry" (default,
+    # reproducible reference-quality streams) or "rbg" (TPU-hardware
+    # generator, ~1.1 ms/step cheaper at flagship scale; different stream)
+    rng_impl: str = "threefry"
     # fold global-norm clipping into Adan's per-leaf kernels instead of
     # optax.chain(clip_by_global_norm, adan): bit-identical math, one less
     # full pass over the gradient tree per step. Opt-state layout drops the

@@ -209,7 +209,12 @@ def train(
         from lm2a_tpu.utils.logging import NullLogger
 
         logger = NullLogger()
-    root_key = jax.random.key(tc.seed + 1)
+    # rbg: the hardware-friendly generator — all dropout/CFG-mask/diffusion
+    # key derivations inside the step inherit it. ~1.1 ms/step cheaper than
+    # threefry at flagship scale (scripts/profile_train_levers.py); opt-in
+    # because the random STREAM changes (statistically equivalent, but not
+    # reproducible against threefry runs)
+    root_key = jax.random.key(tc.seed + 1, impl=tc.rng_impl)
     timer = StepTimer(report_every=max(tc.log_interval * 10, 100))
 
     step = int(state.step)

@@ -99,9 +99,11 @@ class TestAdanOracle:
 
         cfg = LM2AConfig()
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, opt_dtype="bfloat16"))
+            cfg, train=dataclasses.replace(
+                cfg.train, opt_dtype="bfloat16", rng_impl="rbg"))
         rt = config_from_dict(config_to_dict(cfg))
         assert rt.train.opt_dtype == "bfloat16"
+        assert rt.train.rng_impl == "rbg"
 
         from lm2a_tpu.training.train_step import make_optimizer
 
