@@ -214,7 +214,8 @@ def train(
     # threefry at flagship scale (scripts/profile_train_levers.py); opt-in
     # because the random STREAM changes (statistically equivalent, but not
     # reproducible against threefry runs)
-    root_key = jax.random.key(tc.seed + 1, impl=tc.rng_impl)
+    rng_impl = None if tc.rng_impl in ("", "threefry") else tc.rng_impl
+    root_key = jax.random.key(tc.seed + 1, impl=rng_impl)
     timer = StepTimer(report_every=max(tc.log_interval * 10, 100))
 
     step = int(state.step)
