@@ -70,6 +70,10 @@ def build_parser(p=None):
                    help="fuse K optimizer steps into one dispatch (lax.scan)")
     p.add_argument("--keep_checkpoints", type=int, default=0,
                    help="prune to newest N checkpoints (0 = keep all)")
+    p.add_argument("--ckpt_fetch_workers", type=int, default=0,
+                   help="concurrent device->host transfers per checkpoint "
+                        "save (<=1 = one batched fetch); wins only where "
+                        "transfer streams parallelize (not this relay)")
     p.add_argument("--device_data", action="store_true",
                    help="upload the packed dataset to device memory once and "
                         "dispatch only batch indices (needs steps_per_call>1)")
@@ -146,6 +150,7 @@ def config_from_args(args):
             fused_opt=bool(args.fused_opt),
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
+            ckpt_fetch_workers=args.ckpt_fetch_workers,
             device_data=args.device_data,
             quality_every_epochs=args.quality_every_epochs,
             quality_clips=args.quality_clips,

@@ -131,6 +131,11 @@ class TrainConfig:
     steps_per_call: int = 1
     # prune to the newest N checkpoints (0 = keep all, reference behavior)
     keep_checkpoints: int = 0
+    # concurrent device->host leaf transfers during checkpoint saves
+    # (<=1 = one batched fetch). Measured neutral through the axon relay
+    # (scripts/profile_ckpt_fetch.py); for hosts where transfer streams
+    # actually parallelize
+    ckpt_fetch_workers: int = 0
     # upload the packed dataset to HBM once and dispatch only batch indices
     # (needs steps_per_call > 1 and a packed dataset that fits device memory)
     device_data: bool = False

@@ -40,6 +40,29 @@ def checkpoint_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"ckpt_step_{step}")
 
 
+def fetch_tree(state, workers: int = 0):
+    """Device->host fetch of a pytree, optionally with concurrent per-leaf
+    transfers.
+
+    ``workers <= 1`` is one batched ``jax.device_get`` (the round-1
+    behavior). ``workers > 1`` fetches leaves through a thread pool,
+    overlapping independent transfer streams. Measured on this image's
+    axon relay it is throughput-NEUTRAL (the relay / 1-core host is the
+    ceiling — ``scripts/profile_ckpt_fetch.py``, DEVNOTES); the knob
+    targets real hosts where PCIe/NIC streams and deserialization do
+    parallelize. PJRT transfers are thread-safe; leaves stay in tree
+    order.
+    """
+    if workers is None or workers <= 1:
+        return jax.device_get(state)
+    from concurrent.futures import ThreadPoolExecutor
+
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        leaves = list(ex.map(jax.device_get, flat))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 _pending_write: Optional["threading.Thread"] = None  # noqa: F821
 
 
@@ -62,6 +85,7 @@ def save_checkpoint(
     extra: Optional[dict] = None,
     keep_last: int = 0,
     async_write: bool = False,
+    fetch_workers: int = 0,
 ) -> str:
     """Save; with ``keep_last > 0`` prune all but the newest N checkpoints
     (0 keeps everything — the reference's accumulate-forever behavior).
@@ -80,7 +104,10 @@ def save_checkpoint(
     global _pending_write
     os.makedirs(ckpt_dir, exist_ok=True)
     wait_for_pending_save()
-    host_state = jax.device_get(state)  # one batched fetch of the whole tree
+    # the fetch is the save's dominant cost through a remote device;
+    # fetch_workers > 1 overlaps per-leaf transfers where streams
+    # parallelize (see fetch_tree)
+    host_state = fetch_tree(state, fetch_workers)
     step = int(host_state.step)
     path = checkpoint_path(ckpt_dir, step)
     flat, _ = jax.tree_util.tree_flatten_with_path(host_state)

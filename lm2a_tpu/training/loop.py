@@ -234,6 +234,7 @@ def train(
                 save_dir, state, cfg, epoch=epoch,
                 dataset_mean=dataset_mean, dataset_std=dataset_std,
                 keep_last=tc.keep_checkpoints, async_write=True,
+                fetch_workers=tc.ckpt_fetch_workers,
             )
             print("saved checkpoint:", path)
         barrier("ckpt")

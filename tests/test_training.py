@@ -351,6 +351,29 @@ class TestDeviceDataMultistep:
             np.asarray(restored.params["unet"]["in_proj"]["kernel"]),
             np.asarray(state.params["unet"]["in_proj"]["kernel"]))
 
+    def test_fetch_workers_roundtrip(self, setup, tmp_path):
+        """Threaded per-leaf fetch saves bit-identical checkpoints."""
+        from lm2a_tpu.training.checkpoint import (
+            fetch_tree,
+            wait_for_pending_save,
+        )
+
+        denoiser, cond_proj, schedule, state, tx = setup
+        batched = fetch_tree(state, workers=0)
+        threaded = fetch_tree(state, workers=8)
+        for a, b in zip(jax.tree.leaves(batched), jax.tree.leaves(threaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, state, CFG, epoch=1, fetch_workers=8,
+                        async_write=True)
+        wait_for_pending_save()
+        restored, meta = restore_checkpoint(latest_checkpoint(d), state)
+        assert meta["epoch"] == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["unet"]["in_proj"]["kernel"]),
+            np.asarray(state.params["unet"]["in_proj"]["kernel"]))
+
     def test_device_data_eval_matches_eval_step(self, setup):
         """Fused device-resident validation == per-batch eval_step stream."""
         from lm2a_tpu.training.train_step import make_device_data_eval
