@@ -184,12 +184,20 @@ class BatchIterator:
         if native is not None and starts:
             # pipeline: the C++ worker gathers batch k+1 while k is consumed
             native.submit(order[starts[0] : starts[0] + bs])
-            for i, start in enumerate(starts):
-                out = native.wait()
-                if i + 1 < len(starts):
-                    nxt = starts[i + 1]
-                    native.submit(order[nxt : nxt + bs])
-                yield out
+            try:
+                for i, start in enumerate(starts):
+                    out = native.wait()
+                    if i + 1 < len(starts):
+                        nxt = starts[i + 1]
+                        native.submit(order[nxt : nxt + bs])
+                    yield out
+            finally:
+                # abandoned mid-epoch (consumer broke out): drain the
+                # in-flight request so the dataset's shared FIFO stays
+                # aligned — otherwise the NEXT iteration over this dataset
+                # would receive this epoch's stale batch as its first
+                while native.pending:
+                    native.wait()
             return
         for start in starts:
             idx = order[start : start + bs]
@@ -238,11 +246,16 @@ def superbatch_iterator(
     if native is not None and n_groups:
         # pipeline: the C++ worker gathers group g+1 while g is consumed
         native.submit(order[:group])
-        for g in range(n_groups):
-            flat = native.wait()
-            if g + 1 < n_groups:
-                native.submit(order[(g + 1) * group : (g + 2) * group])
-            yield "multi", reshape_multi(flat)
+        try:
+            for g in range(n_groups):
+                flat = native.wait()
+                if g + 1 < n_groups:
+                    native.submit(order[(g + 1) * group : (g + 2) * group])
+                yield "multi", reshape_multi(flat)
+        finally:
+            # keep the dataset's FIFO aligned if the consumer broke out
+            while native.pending:
+                native.wait()
     else:
         for g in range(n_groups):
             idx = order[g * group : (g + 1) * group]
@@ -332,15 +345,22 @@ class SuperbatchStream:
             self.native.submit(order[g * self.group:(g + 1) * self.group])
             self._advance_cursor()
 
+    def drain(self) -> None:
+        """Retire the stream: wait out every queued native gather so the
+        dataset's shared FIFO is clean for any later consumer. Call when
+        abandoning the stream before ``total_epochs`` (early stop)."""
+        if self.native is not None:
+            while self.native.pending:
+                self.native.wait()
+        self._cursor = None
+
     def epoch(self, epoch: int) -> Iterator[tuple]:
         """Yield epoch ``epoch``'s ("multi"/"single", batch) stream.
 
         Epochs must be consumed in order and to exhaustion (the queue
-        gathers ahead on that assumption); an abandoned stream leaves
-        queued batches that the next full consumer would mis-attribute,
-        so only abandon on termination (the gathers land in
-        C++-owned-by-us buffers and are drained at close).
-        """
+        gathers ahead on that assumption — abandoning mid-epoch is fine
+        only if the stream is then retired with :meth:`drain`, which the
+        training loop does on early stop)."""
         if epoch != self._next_epoch:
             raise ValueError(
                 f"epochs must be consumed in order: expected "
@@ -399,11 +419,18 @@ def device_prefetch(iterator, mesh=None, depth: int = 2, put_fn=None):
     done = object()
     out: List = []
     lock = threading.Condition()
+    stop = threading.Event()
 
     def producer():
+        # hold the epoch generator so an abandoning consumer can have it
+        # closed from THIS thread (closing a generator that another thread
+        # is executing raises ValueError)
+        it = iter(iterator)
         try:
-            for batch in iterator:
+            for batch in it:
                 sem.acquire()
+                if stop.is_set():
+                    return
                 staged = put(batch)
                 with lock:
                     out.append(staged)
@@ -415,20 +442,34 @@ def device_prefetch(iterator, mesh=None, depth: int = 2, put_fn=None):
             with lock:
                 out.append(e)
                 lock.notify()
+        finally:
+            if stop.is_set():
+                # consumer abandoned us mid-epoch: run the source's cleanup
+                # (e.g. BatchIterator drains its in-flight native gather)
+                close = getattr(it, "close", None)
+                if close is not None:
+                    close()
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        with lock:
-            while not out:
-                lock.wait()
-            item = out.pop(0)
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
+    try:
+        while True:
+            with lock:
+                while not out:
+                    lock.wait()
+                item = out.pop(0)
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            sem.release()
+            yield item
+    finally:
+        # consumer broke out (or finished): unblock and retire the producer
+        # so it can't sit on sem.acquire() forever pinning staged batches
+        stop.set()
         sem.release()
-        yield item
+        t.join(timeout=60.0)
 
 
 def compute_dataset_stats(npz_dir: str, cap_files: Optional[int] = None):

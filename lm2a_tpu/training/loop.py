@@ -284,6 +284,26 @@ def train(
                 key: jax.device_put(v, sh) for key, v in batch.items()
             }
 
+    # profiler window: start before the dispatch that crosses
+    # profile_steps[0], stop after the one that crosses profile_steps[1] —
+    # step-range based so the fused (steps_per_call>1) and device-resident
+    # paths are traceable too, not just the per-step path
+    prof = {"on": False, "done": False}
+
+    def prof_maybe_start(at_step):
+        if (profile_dir is not None and not prof["on"] and not prof["done"]
+                and at_step >= profile_steps[0]):
+            jax.profiler.start_trace(profile_dir)
+            prof["on"] = True
+
+    def prof_maybe_stop(at_step, sync):
+        if prof["on"] and not prof["done"] and at_step >= profile_steps[1]:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.stop_trace()
+            prof["done"] = True
+            print(f"profiler trace written to {profile_dir}")
+
     epoch = start_epoch
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
@@ -300,10 +320,12 @@ def train(
                 idx = order[g * group : (g + 1) * group].astype(np.int32)
                 idx = idx.reshape(k_fuse, tc.batch_size)
                 offsets = np.arange(step, step + k_fuse, dtype=np.int32)
+                prof_maybe_start(step)
                 state, losses = devdata_step(
                     state, device_data, idx, root_key, offsets
                 )
                 pending_loss = losses[-1]
+                prof_maybe_stop(step + k_fuse, pending_loss)
                 if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
                     last_loss = float(jax.device_get(losses[-1]))
                     logger.log_step(epoch, step + k_fuse - 1, last_loss,
@@ -336,8 +358,10 @@ def train(
             for tag, batch in device_prefetch(stream, put_fn=put_tagged):
                 if tag == "multi":
                     offsets = np.arange(step, step + k_fuse, dtype=np.int32)
+                    prof_maybe_start(step)
                     state, losses = multistep(state, batch, root_key, offsets)
                     pending_loss = losses[-1]
+                    prof_maybe_stop(step + k_fuse, pending_loss)
                     if step // tc.log_interval != (step + k_fuse) // tc.log_interval:
                         last_loss = float(jax.device_get(losses[-1]))
                         logger.log_step(epoch, step + k_fuse - 1, last_loss,
@@ -357,15 +381,11 @@ def train(
         else:
             it = BatchIterator(ds, tc.batch_size, shuffle=True, seed=tc.seed + epoch)
             for batch in device_prefetch(it, mesh=mesh, put_fn=mh_put):
-                if profile_dir is not None and step == profile_steps[0]:
-                    jax.profiler.start_trace(profile_dir)
+                prof_maybe_start(step)
                 step_key = jax.random.fold_in(root_key, step)
                 state, loss = train_step(state, batch, step_key)
                 pending_loss = loss  # async: don't block on the device each step
-                if profile_dir is not None and step == profile_steps[1]:
-                    jax.block_until_ready(pending_loss)
-                    jax.profiler.stop_trace()
-                    print(f"profiler trace written to {profile_dir}")
+                prof_maybe_stop(step, pending_loss)
 
                 ema_dt = timer.tick()
                 if ema_dt is not None:
@@ -423,9 +443,17 @@ def train(
         if stop:
             break
 
+    if sb_stream is not None:
+        # early stop abandons the stream mid-epoch; wait out its queued
+        # native gathers so the dataset's FIFO is clean for later users
+        sb_stream.drain()
     # final checkpoint records the NEXT epoch so resume doesn't redo the last
-    # one (mid-epoch saves keep the current epoch and re-run the partial epoch)
-    ckpt(epoch if stop else epoch + 1)
+    # one (mid-epoch saves keep the current epoch and re-run the partial
+    # epoch). Skipped when the epoch loop never ran (resume at/after the
+    # configured epoch count): there is nothing new to record, and saving
+    # would bump the epoch counter on every no-op rerun.
+    if start_epoch < tc.epochs:
+        ckpt(epoch if stop else epoch + 1)
     from lm2a_tpu.training.checkpoint import wait_for_pending_save
 
     wait_for_pending_save()

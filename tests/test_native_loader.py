@@ -148,6 +148,58 @@ class TestNativeGather:
                 np.testing.assert_array_equal(ba[k], bb[k])
 
 
+class TestAbandonedConsumers:
+    def test_batch_iterator_abandoned_mid_epoch_keeps_fifo_aligned(
+            self, pack_dir):
+        """Breaking out of a native-pipelined epoch must drain the in-flight
+        gather: the NEXT iteration over the same dataset must get ITS first
+        batch, not last epoch's stale readahead."""
+        ds = PackedDataset(pack_dir, use_native=True)
+        ds_np = PackedDataset(pack_dir, use_native=False)
+        it = iter(BatchIterator(ds, 4, shuffle=False))
+        next(it)  # batch [0..3] consumed; batch [4..7] submitted
+        it.close()  # abandon mid-epoch (what a capped val loop does)
+        assert ds.native.pending == 0
+        first = next(iter(BatchIterator(ds, 4, shuffle=False)))
+        np.testing.assert_array_equal(
+            first["mel"], ds_np.gather(np.arange(4))["mel"])
+
+    def test_device_prefetch_abandonment_stops_producer(self, pack_dir):
+        """Breaking out of device_prefetch must retire the producer thread
+        and close the source iterator (draining its native readahead)."""
+        import threading
+
+        from lm2a_tpu.data.dataset import device_prefetch
+
+        ds = PackedDataset(pack_dir, use_native=True)
+        before = threading.active_count()
+        gen = device_prefetch(iter(BatchIterator(ds, 2, shuffle=False)),
+                              put_fn=lambda b: b)
+        next(gen)
+        gen.close()  # what an abandoning for-loop does at GC
+        assert ds.native.pending == 0
+        # the producer must have exited (join happens in the finally)
+        assert threading.active_count() <= before
+
+    def test_superbatch_stream_drain(self, pack_dir):
+        from lm2a_tpu.data.dataset import SuperbatchStream
+
+        ds = PackedDataset(pack_dir, use_native=True)
+        stream = SuperbatchStream(ds, batch_size=2, k=2, base_seed=1,
+                                  total_epochs=5)
+        g = stream.epoch(0)
+        next(g)  # readahead now queued
+        g.close()
+        assert ds.native.pending > 0  # cross-epoch readahead persists
+        stream.drain()  # early-stop path in the training loop
+        assert ds.native.pending == 0
+        # FIFO clean: a fresh consumer of the same dataset is unaffected
+        first = next(iter(BatchIterator(ds, 4, shuffle=False)))
+        ds_np = PackedDataset(pack_dir, use_native=False)
+        np.testing.assert_array_equal(
+            first["mel"], ds_np.gather(np.arange(4))["mel"])
+
+
 class TestSuperbatchStream:
     def test_matches_superbatch_iterator_across_epochs(self, pack_dir):
         """Cross-epoch readahead must yield the exact per-epoch stream the
