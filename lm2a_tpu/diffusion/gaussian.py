@@ -188,6 +188,16 @@ def ddpm_sample(
     return x
 
 
+def ddim_time_grid(timesteps: int, num_steps: int):
+    """(ts, ts_prev): the evenly spaced DDIM sub-schedule, SINGLE SOURCE for
+    the sampler and for distillation (``training/distill.py``). A distilled
+    checkpoint is only served correctly if both sides use the identical
+    grid — don't fork this rounding."""
+    ts = jnp.linspace(timesteps - 1, 0, num_steps).round().astype(jnp.int32)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+    return ts, ts_prev
+
+
 def ddim_sample(
     model_fn: ModelFn,
     schedule: Schedule,
@@ -214,9 +224,7 @@ def ddim_sample(
         key, k0 = jax.random.split(key)
         x_init = jax.random.normal(k0, shape, dtype=jnp.float32)
 
-    T = schedule.timesteps
-    ts = jnp.linspace(T - 1, 0, num_steps).round().astype(jnp.int32)
-    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+    ts, ts_prev = ddim_time_grid(schedule.timesteps, num_steps)
 
     def step(carry, inp):
         x, k = carry

@@ -52,10 +52,11 @@ def stage_guidance_schedule(num_stages: int, guidance: float):
 
 def student_time_grid(timesteps: int, num_student_steps: int):
     """(ts, ts_prev, ts_mid): the student's DDIM grid over the teacher
-    schedule — identical rounding to ``ddim_sample`` — plus the teacher's
-    midpoint for each student step."""
-    ts = jnp.linspace(timesteps - 1, 0, num_student_steps).round().astype(jnp.int32)
-    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
+    schedule — ``gaussian.ddim_time_grid``, THE grid the serving sampler
+    uses — plus the teacher's midpoint for each student step."""
+    from lm2a_tpu.diffusion.gaussian import ddim_time_grid
+
+    ts, ts_prev = ddim_time_grid(timesteps, num_student_steps)
     ts_mid = (ts + ts_prev) // 2  # floor; t_prev=-1 -> mid=(t-1)//2
     return ts, ts_prev, ts_mid
 
@@ -196,18 +197,17 @@ def _distill_one_step(
             w * (x0_student - jax.lax.stop_gradient(x0_tgt)) ** 2
         )
 
+    # the shared grad->Adan->EMA update (train_step.make_update_step) with
+    # the teacher threaded through as the builder's extra argument
+    from lm2a_tpu.training.train_step import make_update_step
+
+    def loss_builder(params, batch, key, teacher_params):
+        return loss_fn(params, teacher_params, batch, key)
+
+    one_step = make_update_step(loss_builder, tx, ema_decay)
+
     def step_fn(state: TrainState, teacher_params, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, teacher_params, batch, key
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params, params,
-        )
-        return TrainState(step=state.step + 1, params=params,
-                          ema_params=ema_params, opt_state=opt_state), loss
+        return one_step(state, batch, key, teacher_params)
 
     return step_fn
 

@@ -14,7 +14,6 @@ One optimization step == the hot loop of ``/root/reference/train.py:135-218``
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import flax.struct
@@ -125,6 +124,54 @@ def _loss(
     )
 
 
+def make_update_step(loss_builder, tx: optax.GradientTransformation,
+                     ema_decay: float):
+    """THE grad → optimizer → EMA update, single-sourced.
+
+    ``loss_builder(params, batch, key, *extra) -> scalar loss``. Returns
+    ``one_step(state, batch, key, *extra) -> (state, loss)``. Shared by the
+    plain, fused-dispatch, and device-resident train steps and by
+    distillation (``training/distill.py``) so a change to the update rule
+    cannot silently diverge one dispatch path from the others.
+    """
+
+    def one_step(state: TrainState, batch, key, *extra):
+        loss, grads = jax.value_and_grad(loss_builder)(
+            state.params, batch, key, *extra
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = jax.tree.map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params,
+            params,
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+        )
+        return new_state, loss
+
+    return one_step
+
+
+def _train_loss_builder(denoiser, cond_proj, schedule, cfg, dataset_mean,
+                        dataset_std):
+    """The standard training objective as a ``make_update_step`` builder."""
+
+    def loss_builder(params, batch, key):
+        return _loss(
+            params,
+            denoiser=denoiser, cond_proj=cond_proj, schedule=schedule,
+            batch=batch, key=key, cond_drop_prob=cfg.train.cond_drop_prob,
+            dataset_mean=dataset_mean, dataset_std=dataset_std, train=True,
+        )
+
+    return loss_builder
+
+
 def make_train_step(
     denoiser,
     cond_proj,
@@ -142,36 +189,11 @@ def make_train_step(
     ``lyrics (B,T,768)``. When ``mesh`` is given, the step is compiled with
     replicated state and batch-sharded data.
     """
-    ema_decay = cfg.train.ema_decay
-
-    def step_fn(state: TrainState, batch, key):
-        loss_fn = partial(
-            _loss,
-            denoiser=denoiser,
-            cond_proj=cond_proj,
-            schedule=schedule,
-            batch=batch,
-            key=key,
-            cond_drop_prob=cfg.train.cond_drop_prob,
-            dataset_mean=dataset_mean,
-            dataset_std=dataset_std,
-            train=True,
-        )
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params,
-            params,
-        )
-        new_state = TrainState(
-            step=state.step + 1,
-            params=params,
-            ema_params=ema_params,
-            opt_state=opt_state,
-        )
-        return new_state, loss
+    step_fn = make_update_step(
+        _train_loss_builder(denoiser, cond_proj, schedule, cfg,
+                            dataset_mean, dataset_std),
+        tx, cfg.train.ema_decay,
+    )
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
@@ -204,24 +226,11 @@ def make_multistep_train_step(
     remote-attached device; still worthwhile on local hardware to keep the
     device queue full).
     """
-    ema_decay = cfg.train.ema_decay
-
-    def one_step(state, batch, key):
-        loss_fn = partial(
-            _loss,
-            denoiser=denoiser, cond_proj=cond_proj, schedule=schedule,
-            batch=batch, key=key, cond_drop_prob=cfg.train.cond_drop_prob,
-            dataset_mean=dataset_mean, dataset_std=dataset_std, train=True,
-        )
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params, params,
-        )
-        return TrainState(step=state.step + 1, params=params,
-                          ema_params=ema_params, opt_state=opt_state), loss
+    one_step = make_update_step(
+        _train_loss_builder(denoiser, cond_proj, schedule, cfg,
+                            dataset_mean, dataset_std),
+        tx, cfg.train.ema_decay,
+    )
 
     def multi_fn(state, batches, base_key, offsets):
         def body(st, inp):
@@ -271,24 +280,11 @@ def make_device_data_multistep(
     turns the per-dispatch transfer into ~KB of indices. No reference
     analogue (the reference streams from 8 loader workers, train.py:58).
     """
-    ema_decay = cfg.train.ema_decay
-
-    def one_step(state, batch, key):
-        loss_fn = partial(
-            _loss,
-            denoiser=denoiser, cond_proj=cond_proj, schedule=schedule,
-            batch=batch, key=key, cond_drop_prob=cfg.train.cond_drop_prob,
-            dataset_mean=dataset_mean, dataset_std=dataset_std, train=True,
-        )
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params, params,
-        )
-        return TrainState(step=state.step + 1, params=params,
-                          ema_params=ema_params, opt_state=opt_state), loss
+    one_step = make_update_step(
+        _train_loss_builder(denoiser, cond_proj, schedule, cfg,
+                            dataset_mean, dataset_std),
+        tx, cfg.train.ema_decay,
+    )
 
     bsh = batch_sharding(mesh) if mesh is not None else None
 
