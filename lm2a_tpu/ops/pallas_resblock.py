@@ -175,25 +175,28 @@ def fused_resblock_chain(
     if interpret is None:  # Pallas on TPU, interpreter elsewhere (CPU tests)
         interpret = jax.default_backend() != "tpu"
 
-    weight_bytes = (conv1_w.size + conv2_w.size) * 2
+    # weights are held in VMEM at the kernel's compute dtype (bf16 when the
+    # activations are bf16, else fp32) — budget at the ACTUAL itemsize, or
+    # the fp32 path under-counts by 2x and trips a Mosaic VMEM failure
+    # instead of the intended XLA fallback
+    cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    wsize = jnp.dtype(cdtype).itemsize
+    weight_bytes = (conv1_w.size + conv2_w.size) * wsize
     if has_skip:
-        weight_bytes += skip_w.size * 2
+        weight_bytes += skip_w.size * wsize
     if weight_bytes > VMEM_WEIGHT_BUDGET:
         # whole chain over VMEM: run as two pallas calls when each half fits
         # (covers the flagship's 2048->1024 up block, ~23 MB of weights)
-        half1 = conv1_w.size * 2
-        half2 = conv2_w.size * 2 + (skip_w.size * 2 if has_skip else 0)
+        half1 = conv1_w.size * wsize
+        half2 = conv2_w.size * wsize + (skip_w.size * wsize if has_skip else 0)
         if max(half1, half2) > VMEM_WEIGHT_BUDGET:
             return None
         return _fused_chain_split(
             x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
             gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w, skip_b,
             groups1=groups1, groups2=groups2, add_residual=add_residual,
-            interpret=(jax.default_backend() != "tpu"
-                       if interpret is None else interpret),
+            interpret=interpret,
         )
-
-    cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
     def vec(p, c):  # (C,) params as (1, C) fp32 rows
         return p.reshape(1, c).astype(jnp.float32)
@@ -403,10 +406,16 @@ def _fused_chain_split(
 BWD_VMEM_BUDGET = 15 * 1024 * 1024
 
 
-def resblock_train_fits(t: int, cin: int, cout: int, has_skip: bool) -> bool:
-    """True when the fused-backward geometry fits the VMEM budget."""
+def resblock_train_fits(t: int, cin: int, cout: int, has_skip: bool,
+                        weight_itemsize: int = 2) -> bool:
+    """True when the fused-backward geometry fits the VMEM budget.
+
+    ``weight_itemsize``: bytes per weight element at the kernel's compute
+    dtype (2 for bf16 activations, 4 for fp32 — the kernels cast weights
+    to the activation dtype)."""
     wcount = 3 * cin * cout + 3 * cout * cout + (cin * cout if has_skip else 0)
-    weight_bytes = wcount * 2 + wcount * 4  # bf16 weights + fp32 accumulators
+    # weights at compute dtype + fp32 weight-grad accumulators
+    weight_bytes = wcount * weight_itemsize + wcount * 4
     act_bytes = t * max(cin, cout) * 4 * 8
     return weight_bytes + act_bytes <= BWD_VMEM_BUDGET
 
@@ -774,7 +783,9 @@ def fused_resblock_train(
     """
     b, t, cin = x.shape
     cout = conv1_w.shape[2]
-    if not resblock_train_fits(t, cin, cout, skip_w is not None):
+    wsize = 2 if x.dtype == jnp.bfloat16 else 4
+    if not resblock_train_fits(t, cin, cout, skip_w is not None,
+                               weight_itemsize=wsize):
         return None
     if skip_w is None:
         return _chain_train_noskip(

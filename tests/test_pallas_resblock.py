@@ -165,8 +165,9 @@ class TestSplitForward:
         want = resblock_chain_reference(*args, **gkw)
         # shrink the budget to exactly the larger half so this tiny geometry
         # fails the whole-chain check but passes both half checks
-        half1 = args[3].size * 2
-        half2 = args[9].size * 2 + (args[11].size * 2 if has_skip else 0)
+        # (fp32 inputs -> weights are budgeted at 4 bytes/element)
+        half1 = args[3].size * 4
+        half2 = args[9].size * 4 + (args[11].size * 4 if has_skip else 0)
         monkeypatch.setattr(prb, "VMEM_WEIGHT_BUDGET", max(half1, half2))
         got = fused_resblock_chain(*args, **gkw, interpret=True)
         assert got is not None
@@ -264,6 +265,9 @@ class TestFusedBackward:
         assert resblock_train_fits(516, 256, 256, False)
         assert resblock_train_fits(258, 512, 512, False)
         assert resblock_train_fits(516, 512, 256, True)
+        # fp32 compute doubles the in-VMEM weight bytes: a geometry that
+        # fits at bf16 must be re-judged at itemsize 4
+        assert not resblock_train_fits(258, 512, 512, False, weight_itemsize=4)
 
         args = self._args(jax.random.PRNGKey(0), 1, 129, 1024, 1024, False)
         assert fused_resblock_train(*args, groups1=8, groups2=8) is None
