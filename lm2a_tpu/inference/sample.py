@@ -357,6 +357,9 @@ def sample_batch_from_npz(
         by_len.setdefault(mel_t, []).append((p, s))
 
     written = []
+    chunk_no = 0  # distinct noise stream per chunk ACROSS length groups —
+    # seed+i alone would repeat keys at equal chunk offsets of different
+    # groups, noise-correlating their outputs
     for mel_t, group in by_len.items():
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
@@ -366,8 +369,9 @@ def sample_batch_from_npz(
                 [s.lyrics for _, s in chunk],
                 mel_t,
                 steps=steps, guidance_weight=guidance_weight,
-                method=method, seed=seed + i, ddim_steps=ddim_steps,
+                method=method, seed=seed + chunk_no, ddim_steps=ddim_steps,
             )
+            chunk_no += 1
             for j, (p, s) in enumerate(chunk):
                 base = os.path.splitext(os.path.basename(p))[0]
                 out_npz = os.path.join(out_dir, base + "_gen.npz")
