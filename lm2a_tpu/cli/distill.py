@@ -167,6 +167,7 @@ def main(args=None):
                 denoiser, cond_proj, schedule, cfg, tx,
                 num_student_steps=stage_n, dataset_mean=mean,
                 dataset_std=std, guidance_weight=stage_guidance,
+                loss_space=stage_loss,
             )
             n = len(ds)
             b = cfg.train.batch_size
@@ -187,6 +188,7 @@ def main(args=None):
                 denoiser, cond_proj, schedule, cfg, tx,
                 num_student_steps=stage_n, dataset_mean=mean,
                 dataset_std=std, guidance_weight=stage_guidance,
+                loss_space=stage_loss,
             )
             while done < args.steps_per_stage:
                 it = BatchIterator(ds, cfg.train.batch_size, shuffle=True,

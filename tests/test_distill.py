@@ -177,6 +177,112 @@ class TestDeviceDataMultistep:
         assert int(st_multi.step) == int(st_seq.step)
 
 
+class TestLossSpace:
+    def test_eps_and_x0_snr_are_different_objectives(self):
+        """Regression: the two loss spaces must actually change the computed
+        loss AND the update (a silent fallthrough to the default trained
+        bit-identical students for every --loss_schedule value)."""
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        # NB: for SNR >= 1 the truncated-SNR x0 loss EQUALS eps-MSE
+        # identically (eps-diff^2 = SNR * x0-diff^2, w = max(SNR, 1)); a
+        # schedule must reach SNR < 1 for the objectives to separate, as
+        # the production 1000-step schedule does at large t.
+        sched = make_schedule(DiffusionConfig(timesteps=40, beta_end=0.3))
+        assert float(sched.alpha_bars[-1] / (1 - sched.alpha_bars[-1])) < 1.0
+        teacher_state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                            seq_len=T_MEL)
+        tx = make_optimizer(CFG)
+        rng = np.random.default_rng(5)
+        batch = {
+            "mel": rng.normal(size=(4, T_MEL, 80)).astype(np.float32),
+            "motion": rng.normal(size=(4, T_MEL, 12)).astype(np.float32),
+            "lyrics": rng.normal(size=(4, T_MEL, 24)).astype(np.float32),
+        }
+        out = {}
+        for space in ("eps", "x0_snr"):
+            step = make_distill_step(
+                den, proj, sched, CFG, tx, num_student_steps=5,
+                guidance_weight=2.1, loss_space=space,
+            )
+            st = jax.tree.map(jnp.copy, teacher_state)
+            st, loss = step(st, teacher_state.params, batch, jax.random.key(9))
+            out[space] = (float(loss), st)
+        l_eps, st_eps = out["eps"]
+        l_snr, st_snr = out["x0_snr"]
+        assert np.isfinite([l_eps, l_snr]).all()
+        # the objectives coincide where SNR >= 1, and Adan's FIRST step is
+        # ~lr*sign(g) elementwise (m-hat/sqrt(n-hat) of one gradient), so
+        # params after one step can tie — the loss values are the
+        # discriminating signal here
+        assert abs(l_eps - l_snr) > 1e-6 * max(abs(l_eps), abs(l_snr))
+
+
+class TestCLIPlumbing:
+    def test_loss_schedule_reaches_step_builder(self, tmp_path, monkeypatch):
+        """Regression for the round-2 bug where cli/distill.py PRINTED the
+        per-stage loss but never passed it: V1 (x0_snr) and V3 (eps) runs
+        produced bit-identical students. Assert each stage's builder call
+        receives its --loss_schedule entry."""
+        import lm2a_tpu.training.distill as dmod
+        from lm2a_tpu.cli import distill as cli_distill
+        from lm2a_tpu.data import Sample, save_sample
+        from lm2a_tpu.training.checkpoint import save_checkpoint
+
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                    seq_len=T_MEL)
+        teacher_dir = str(tmp_path / "teacher")
+        save_checkpoint(teacher_dir, state, CFG, epoch=0,
+                        dataset_mean=0.0, dataset_std=1.0)
+        ckpts = sorted(p for p in (tmp_path / "teacher").iterdir()
+                       if p.is_dir())
+        teacher = str(ckpts[0])
+
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(4):
+            save_sample(
+                str(npz_dir / f"sample_{i:08d}.npz"),
+                Sample(
+                    mel=rng.normal(size=(80, T_MEL)).astype(np.float32),
+                    motion=rng.normal(size=(8, 12)).astype(np.float32),
+                    lyrics=rng.normal(size=(8, 24)).astype(np.float32),
+                ),
+            )
+
+        seen = []
+        real_single = dmod.make_distill_step
+        real_multi = dmod.make_device_data_multistep_distill
+
+        def spy_single(*a, **kw):
+            seen.append(kw.get("loss_space", "<MISSING>"))
+            return real_single(*a, **kw)
+
+        def spy_multi(*a, **kw):
+            seen.append(kw.get("loss_space", "<MISSING>"))
+            return real_multi(*a, **kw)
+
+        monkeypatch.setattr(dmod, "make_distill_step", spy_single)
+        monkeypatch.setattr(dmod, "make_device_data_multistep_distill",
+                            spy_multi)
+
+        cli_distill.main([
+            "--teacher", teacher,
+            "--npz_dir", str(npz_dir),
+            "--save_dir", str(tmp_path / "out"),
+            "--student_steps", "2",
+            "--start_steps", "4",
+            "--steps_per_stage", "2",
+            "--batch_size", "2",
+            "--steps_per_call", "1",
+            "--loss_schedule", "eps,x0_snr",
+        ])
+        assert seen == ["eps", "x0_snr"], seen
+
+
 class TestStageGuidance:
     def test_cfg_folded_exactly_once(self):
         """Stage 0 folds the CFG weight; every later stage's teacher is the
