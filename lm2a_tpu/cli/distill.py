@@ -35,6 +35,12 @@ def build_parser(p=None):
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--guidance", type=float, default=2.1,
                    help="teacher CFG weight folded into the student")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="EMA decay for the student (default: the teacher "
+                        "config's). The teacher's 0.999 absorbs only ~45%% "
+                        "of a 600-step stage into the served EMA weights; "
+                        "short distill stages want a faster decay (e.g. "
+                        "0.99 absorbs >99%%)")
     p.add_argument("--loss_schedule", default="x0_snr",
                    help="per-stage distillation loss, comma list or single "
                         "value broadcast: x0_snr (truncated-SNR x0 "
@@ -71,7 +77,8 @@ def main(args=None):
                     train=type(cfg.train)(
                         batch_size=args.batch_size, lr=args.lr,
                         weight_decay=0.0, seed=args.seed,
-                        ema_decay=cfg.train.ema_decay,
+                        ema_decay=(args.ema_decay if args.ema_decay
+                                   is not None else cfg.train.ema_decay),
                         compute_dtype=cfg.train.compute_dtype),
                     data=cfg.data)
     mean = float(meta.get("dataset_mean", 0.0))

@@ -257,12 +257,16 @@ class TestCLIPlumbing:
         real_single = dmod.make_distill_step
         real_multi = dmod.make_device_data_multistep_distill
 
+        seen_ema = []
+
         def spy_single(*a, **kw):
             seen.append(kw.get("loss_space", "<MISSING>"))
+            seen_ema.append(a[3].train.ema_decay)
             return real_single(*a, **kw)
 
         def spy_multi(*a, **kw):
             seen.append(kw.get("loss_space", "<MISSING>"))
+            seen_ema.append(a[3].train.ema_decay)
             return real_multi(*a, **kw)
 
         monkeypatch.setattr(dmod, "make_distill_step", spy_single)
@@ -279,8 +283,12 @@ class TestCLIPlumbing:
             "--batch_size", "2",
             "--steps_per_call", "1",
             "--loss_schedule", "eps,x0_snr",
+            "--ema_decay", "0.5",
         ])
         assert seen == ["eps", "x0_snr"], seen
+        # --ema_decay override must reach the step builders' config (the
+        # teacher's 0.999 EMA absorbs only ~45% of a 600-step stage)
+        assert seen_ema == [0.5, 0.5], seen_ema
 
 
 class TestStageGuidance:
