@@ -196,10 +196,15 @@ def main():
                 return m
 
             float(jnp.abs(vocode_chain(vparams, mel)).sum())  # warm
-            t0 = time.perf_counter()
-            out = vocode_chain(vparams, mel * 1.001)  # distinct input
-            float(jnp.abs(out).sum())
-            vt = (time.perf_counter() - t0) / viters
+            # 3 reps with distinct inputs, best-of: the first timed run of a
+            # freshly-compiled executable can read several x high even
+            # through a value fetch (DEVNOTES measurement discipline)
+            vt = float("inf")
+            for rep in range(3):
+                t0 = time.perf_counter()
+                out = vocode_chain(vparams, mel * (1.0 + 1e-3 * (rep + 1)))
+                float(jnp.abs(out).sum())
+                vt = min(vt, (time.perf_counter() - t0) / viters)
             log(f"extra: BigVGAN vocode (1, 516, 80) -> {wav_shape}: "
                 f"{vt * 1e3:.1f} ms (chained x{viters})")
             log(f"extra: sample+vocode wall-clock per 6s clip: {best + vt:.3f}s")
@@ -224,10 +229,12 @@ def main():
                 return w
 
             float(jnp.abs(mel_chain(wavs)).sum())  # warm
-            t0 = time.perf_counter()
-            out = mel_chain(wavs * 0.999)  # distinct input
-            float(jnp.abs(out).sum())
-            mt = (time.perf_counter() - t0) / miters
+            mt = float("inf")
+            for rep in range(2):  # distinct inputs; best-of (first-run trap)
+                t0 = time.perf_counter()
+                out = mel_chain(wavs * (1.0 - 1e-3 * (rep + 1)))
+                float(jnp.abs(out).sum())
+                mt = min(mt, (time.perf_counter() - t0) / miters)
             log(f"extra: mel extraction {nb}x6s clips: {mt * 1e3:.1f} ms "
                 f"({nb * 6 / mt:.0f}x realtime, chained x{miters})")
         except Exception as e:
