@@ -8,6 +8,7 @@ Commands map 1:1 onto the reference's entry-point scripts (SURVEY.md §1 L3/L5):
   train              train.py
   distill            (new) progressive distillation to a few-step student
   sample             sample.py
+  serve              (new) persistent sampling server (JSON lines on stdio)
   val                val.py                  mel-domain assessment
   evaluate           evaluate_all.py         wav-domain metrics
   towav              sometest/testwav.py + newwav.py
@@ -25,6 +26,7 @@ COMMANDS = {
     "train": "lm2a_tpu.cli.train",
     "distill": "lm2a_tpu.cli.distill",
     "sample": "lm2a_tpu.cli.sample",
+    "serve": "lm2a_tpu.cli.serve",
     "val": "lm2a_tpu.cli.val",
     "evaluate": "lm2a_tpu.cli.evaluate",
     "towav": "lm2a_tpu.cli.towav",

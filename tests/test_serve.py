@@ -1,0 +1,167 @@
+"""Serving-loop tests: one model load, many requests, cached compiled chains."""
+
+import io
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lm2a_tpu.cli.serve import build_parser, serve_loop
+from lm2a_tpu.core.config import (
+    DiffusionConfig,
+    LM2AConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from lm2a_tpu.data import Sample, save_sample
+from lm2a_tpu.inference import load_models
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.training import init_train_state, save_checkpoint
+
+CFG = LM2AConfig(
+    model=ModelConfig(
+        base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+        num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        motion_dim=234, text_dim=768,
+    ),
+    diffusion=DiffusionConfig(timesteps=8),
+    train=TrainConfig(batch_size=2),
+)
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    denoiser = build_denoiser(CFG.model)
+    cond_proj = build_cond_projection(CFG.model)
+    state, _ = init_train_state(
+        denoiser, cond_proj, CFG, jax.random.key(0), seq_len=48)
+    d = str(tmp_path_factory.mktemp("serve") / "ckpts")
+    save_checkpoint(d, state, CFG, epoch=0, dataset_mean=-4.6, dataset_std=1.86)
+    return os.path.join(d, "ckpt_step_0")
+
+
+@pytest.fixture
+def clip_npz(tmp_path):
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "clip.npz")
+    save_sample(p, Sample(
+        mel=rng.normal(size=(80, 48)).astype(np.float32),
+        motion=rng.normal(size=(16, 234)).astype(np.float32),
+        lyrics=rng.normal(size=(16, 768)).astype(np.float32),
+    ))
+    return p
+
+
+def _run(models, requests, **kw):
+    out = io.StringIO()
+    served = serve_loop(models, [json.dumps(r) for r in requests], out, **kw)
+    responses = [json.loads(line) for line in out.getvalue().splitlines()]
+    return served, responses
+
+
+class TestServeLoop:
+    def test_many_requests_share_one_compiled_chain(self, ckpt_dir, clip_npz,
+                                                    tmp_path):
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "a", "seed": 1,
+                 "out_dir": str(tmp_path / "a")},
+                {"npz": clip_npz, "id": "b", "seed": 2,
+                 "out_dir": str(tmp_path / "b")},
+            ],
+            out_dir=str(tmp_path / "out"),
+        )
+        assert served == 2
+        assert [r["id"] for r in resp] == ["a", "b"]
+        assert all(r["ok"] for r in resp)
+        for r in resp:
+            d = np.load(r["out"])
+            assert d["mel"].shape == (80, 48)
+            assert np.isfinite(d["mel"]).all()
+        # both requests hit the SAME geometry -> exactly one jitted sampler
+        assert len(models._samplers) == 1
+        # distinct seeds -> distinct outputs (same compiled chain, new noise)
+        a, b = (np.load(r["out"])["mel"] for r in resp)
+        assert not np.array_equal(a, b)
+
+    def test_per_request_overrides_and_methods(self, ckpt_dir, clip_npz,
+                                               tmp_path):
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "ddpm"},
+                {"npz": clip_npz, "id": "ddim", "method": "ddim",
+                 "ddim_steps": 4},
+            ],
+            out_dir=str(tmp_path / "out"),
+        )
+        assert served == 2 and all(r["ok"] for r in resp)
+        assert len(models._samplers) == 2  # two geometries, two chains
+
+    def test_same_seed_is_deterministic(self, ckpt_dir, clip_npz, tmp_path):
+        models = load_models(ckpt_dir)
+        _, resp = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "x", "seed": 7,
+                 "out_dir": str(tmp_path / "x")},
+                {"npz": clip_npz, "id": "y", "seed": 7,
+                 "out_dir": str(tmp_path / "y")},
+            ],
+        )
+        a, b = (np.load(r["out"])["mel"] for r in resp)
+        np.testing.assert_array_equal(a, b)
+
+    def test_bad_requests_do_not_kill_the_server(self, ckpt_dir, clip_npz,
+                                                 tmp_path):
+        models = load_models(ckpt_dir)
+        out = io.StringIO()
+        served = serve_loop(
+            models,
+            [
+                "this is not json",
+                json.dumps({"id": "no-npz"}),
+                json.dumps({"npz": str(tmp_path / "missing.npz"),
+                            "id": "gone"}),
+                json.dumps({"npz": clip_npz, "id": "good"}),
+            ],
+            out,
+            out_dir=str(tmp_path / "out"),
+        )
+        resp = [json.loads(line) for line in out.getvalue().splitlines()]
+        assert served == 1
+        assert [r["ok"] for r in resp] == [False, False, False, True]
+        assert all("error" in r for r in resp[:3])
+
+    def test_ping_quit_and_blank_lines(self, ckpt_dir, clip_npz, tmp_path):
+        models = load_models(ckpt_dir)
+        out = io.StringIO()
+        served = serve_loop(
+            models,
+            [
+                "",
+                json.dumps({"cmd": "ping", "id": "p"}),
+                json.dumps({"cmd": "quit"}),
+                json.dumps({"npz": clip_npz, "id": "after-quit"}),
+            ],
+            out,
+            out_dir=str(tmp_path / "out"),
+        )
+        resp = [json.loads(line) for line in out.getvalue().splitlines()]
+        assert served == 0  # quit stops before the sampling request
+        assert resp[0] == {"id": "p", "ok": True, "pong": True}
+        assert resp[1]["bye"] is True
+        assert len(resp) == 2
+
+    def test_cli_parser_contract(self):
+        args = build_parser().parse_args(
+            ["--ckpt", "c", "--method", "ddim", "--warmup_t", "516"])
+        assert args.ckpt == "c"
+        assert args.method == "ddim"
+        assert args.warmup_t == 516
+        assert args.out_dir == "serve_out"
