@@ -10,7 +10,9 @@ request after the first with a given geometry costs only device time
 DDIM-50 — DEVNOTES.md headline numbers).
 
 Request fields (one JSON object per line on stdin):
-    npz         input clip path (required unless "cmd" given)
+    npz         input clip path, or a LIST of paths — a list is served as
+                batched generation (clips grouped by mel length, one compiled
+                chain per group; the throughput path) (required unless "cmd")
     id          echoed back in the response (optional)
     out_dir     overrides the server default (optional)
     steps       schedule length        (default: server --steps / checkpoint)
@@ -24,6 +26,7 @@ Request fields (one JSON object per line on stdin):
 
 Response (one JSON object per line on stdout):
     {"id": ..., "ok": true, "out": "<base>_gen.npz", "seconds": 0.84}
+    {"id": ..., "ok": true, "out": ["a_gen.npz", "b_gen.npz"], "seconds": ...}
     {"id": ..., "ok": false, "error": "..."}
 EOF on stdin also ends the loop. Diagnostics go to stderr.
 """
@@ -61,7 +64,7 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
     Returns the number of successfully served sampling requests. Separated
     from the CLI so tests can drive it with in-memory streams.
     """
-    from lm2a_tpu.inference import sample_from_npz
+    from lm2a_tpu.inference import sample_batch_from_npz, sample_from_npz
 
     served = 0
     for n, line in enumerate(requests):
@@ -85,16 +88,28 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                 raise ValueError("request needs 'npz' (or 'cmd')")
 
             t0 = time.perf_counter()
-            out = sample_from_npz(
-                req["npz"], None, req.get("out_dir", out_dir),
-                steps=req.get("steps", steps),
-                guidance_weight=req.get("guidance", guidance),
-                method=req.get("method", method),
-                seed=int(req.get("seed", n)),
-                ddim_steps=req.get("ddim_steps", ddim_steps),
-                save_png=bool(req.get("png", False)),
-                models=models,
-            )
+            if isinstance(req["npz"], (list, tuple)):
+                out = sample_batch_from_npz(
+                    list(req["npz"]), None, req.get("out_dir", out_dir),
+                    steps=req.get("steps", steps),
+                    guidance_weight=req.get("guidance", guidance),
+                    method=req.get("method", method),
+                    seed=int(req.get("seed", n)),
+                    ddim_steps=req.get("ddim_steps", ddim_steps),
+                    batch_size=int(req.get("batch_size", 8)),
+                    models=models,
+                )
+            else:
+                out = sample_from_npz(
+                    req["npz"], None, req.get("out_dir", out_dir),
+                    steps=req.get("steps", steps),
+                    guidance_weight=req.get("guidance", guidance),
+                    method=req.get("method", method),
+                    seed=int(req.get("seed", n)),
+                    ddim_steps=req.get("ddim_steps", ddim_steps),
+                    save_png=bool(req.get("png", False)),
+                    models=models,
+                )
             served += 1
             _reply(out_stream, {
                 "id": req_id, "ok": True, "out": out,

@@ -117,6 +117,34 @@ class TestServeLoop:
         a, b = (np.load(r["out"])["mel"] for r in resp)
         np.testing.assert_array_equal(a, b)
 
+    def test_batched_request_serves_all_clips_in_one_chain(self, ckpt_dir,
+                                                           tmp_path):
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"clip{i}.npz")
+            save_sample(p, Sample(
+                mel=rng.normal(size=(80, 48)).astype(np.float32),
+                motion=rng.normal(size=(16, 234)).astype(np.float32),
+                lyrics=rng.normal(size=(16, 768)).astype(np.float32),
+            ))
+            paths.append(p)
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [{"npz": paths, "id": "batch"}],
+            out_dir=str(tmp_path / "out"),
+        )
+        assert served == 1
+        (r,) = resp
+        assert r["ok"] and isinstance(r["out"], list) and len(r["out"]) == 3
+        # equal-length clips share one compiled batched chain
+        assert len(models._samplers) == 1
+        mels = [np.load(o)["mel"] for o in r["out"]]
+        assert all(m.shape == (80, 48) and np.isfinite(m).all() for m in mels)
+        # per-row conditions differ -> per-row outputs differ
+        assert not np.array_equal(mels[0], mels[1])
+
     def test_bad_requests_do_not_kill_the_server(self, ckpt_dir, clip_npz,
                                                  tmp_path):
         models = load_models(ckpt_dir)
