@@ -104,16 +104,23 @@ def guided_eps(
 
     For w > 1: one doubled-batch forward over [uncond (zeroed conds), cond],
     eps = eps_u + w * clip(eps_c - eps_u, +-5), clipped to +-10 — the exact
-    stabilization of ``/root/reference/sample.py:151-174``. ``guidance_weight``
-    is static (trace-time) so the no-guidance path compiles with no dead
-    doubled batch.
+    stabilization of ``/root/reference/sample.py:151-174``.
+
+    ``guidance_weight`` may be a Python float (static: the no-guidance path
+    then compiles with no dead doubled batch) or a traced jax scalar (the
+    guided program structure is fixed and ONE compiled chain serves every
+    weight — the serving path, where each baked-in weight would otherwise
+    cost a fresh multi-minute compile through the relay).
 
     ``uncond_fast=True`` additionally tells the model (via ``uncond_rows``)
     that the first half of the doubled batch has identically-zero conditions,
     letting it constant-fold those rows' cross-attention (exact math, see
     ResBlockUltimate). Requires a model_fn that forwards keyword args.
     """
-    if guidance_weight <= 1.0 or motion_f is None or text_f is None:
+    static_off = (
+        isinstance(guidance_weight, (int, float)) and guidance_weight <= 1.0
+    )
+    if static_off or motion_f is None or text_f is None:
         return model_fn(x, t, motion_f, text_f)
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)

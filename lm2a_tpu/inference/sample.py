@@ -48,9 +48,24 @@ class LoadedModels:
     # checkpoint-carried CFG weight; the reference lets a checkpointed
     # 'guidance_weight' override the CLI default (sample.py:140)
     guidance_weight: Optional[float] = None
-    # jitted sampler cache keyed by (mel_t, steps, guidance, method, batch) —
-    # batch assessment reuses one compiled chain across all clips
+    # jitted sampler cache keyed by (mel_t, steps, guided?, method, batch) —
+    # the CFG weight itself is a traced argument, so every weight > 1 shares
+    # one compiled chain; batch assessment and the serving loop reuse entries
+    # across requests. LRU-capped: a long-lived server with varied request
+    # geometries must not grow compiled programs without bound.
     _samplers: dict = field(default_factory=dict)
+    sampler_cache_max: int = 8
+
+    def _sampler_get(self, key):
+        run = self._samplers.get(key)
+        if run is not None:  # refresh LRU position
+            self._samplers[key] = self._samplers.pop(key)
+        return run
+
+    def _sampler_put(self, key, run) -> None:
+        while len(self._samplers) >= max(1, self.sampler_cache_max):
+            self._samplers.pop(next(iter(self._samplers)))
+        self._samplers[key] = run
 
 
 def load_models(
@@ -206,8 +221,9 @@ def generate_mel(
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
     num_ddim = None if method == "ddpm" else _ddim_num_steps(steps, ddim_steps)
-    cache_key = (mel_t, steps, guidance_weight, method, batch, debug, num_ddim)
-    run = models._samplers.get(cache_key)
+    guided = guidance_weight > 1.0
+    cache_key = (mel_t, steps, guided, method, batch, debug, num_ddim)
+    run = models._sampler_get(cache_key)
     if run is None:
         schedule = make_schedule(
             DiffusionConfig(
@@ -221,7 +237,7 @@ def generate_mel(
         if debug:
             kwargs["collect_stats"] = True
         # constant-fold the CFG uncond rows' cross-attention (exact math)
-        kwargs["uncond_fast"] = guidance_weight > 1.0
+        kwargs["uncond_fast"] = guided
 
         def model_fn_with(params):
             def model_fn(x, t, m, l, **kw):
@@ -230,16 +246,19 @@ def generate_mel(
             return model_fn
 
         @jax.jit
-        def run(params, key, motion_f, text_f):
+        def run(params, key, motion_f, text_f, gw):
+            # gw is traced: one compiled chain serves every CFG weight > 1
             return sampler(
                 model_fn_with(params), schedule, key,
                 (batch, mel_t, cfg.model.in_dim),
-                motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+                motion_f, text_f,
+                guidance_weight=gw if guided else 1.0, **kwargs,
             )
 
-        models._samplers[cache_key] = run
+        models._sampler_put(cache_key, run)
 
-    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f)
+    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f,
+              jnp.float32(guidance_weight))
     if debug:
         out, stats = out
         _print_sampling_telemetry(np.asarray(stats), steps, cfg)
@@ -297,8 +316,9 @@ def generate_mel_batch(
     motion_f, text_f = models.cond_proj.apply(models.proj_params, motion_b, lyrics_b)
 
     num_ddim = None if method == "ddpm" else _ddim_num_steps(steps, ddim_steps)
-    cache_key = (mel_t, steps, guidance_weight, method, b, num_ddim)
-    run = models._samplers.get(cache_key)
+    guided = guidance_weight > 1.0
+    cache_key = (mel_t, steps, guided, method, b, num_ddim)
+    run = models._sampler_get(cache_key)
     if run is None:
         schedule = make_schedule(
             DiffusionConfig(
@@ -309,21 +329,24 @@ def generate_mel_batch(
         )
         sampler = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
         kwargs = {} if method == "ddpm" else {"num_steps": num_ddim}
-        kwargs["uncond_fast"] = guidance_weight > 1.0
+        kwargs["uncond_fast"] = guided
 
         @jax.jit
-        def run(params, key, motion_f, text_f):
+        def run(params, key, motion_f, text_f, gw):
             def model_fn(x, t, m, l, **kw):
                 return models.denoiser.apply(params, x, t, m, l, **kw)
 
+            # gw is traced: one compiled chain serves every CFG weight > 1
             return sampler(
                 model_fn, schedule, key, (b, mel_t, cfg.model.in_dim),
-                motion_f, text_f, guidance_weight=guidance_weight, **kwargs,
+                motion_f, text_f,
+                guidance_weight=gw if guided else 1.0, **kwargs,
             )
 
-        models._samplers[cache_key] = run
+        models._sampler_put(cache_key, run)
 
-    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f)
+    out = run(models.unet_params, jax.random.key(seed), motion_f, text_f,
+              jnp.float32(guidance_weight))
     out = np.asarray(out) * models.dataset_std + models.dataset_mean
     return out.transpose(0, 2, 1), motion_rs, lyrics_rs
 

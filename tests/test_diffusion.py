@@ -139,6 +139,27 @@ class TestDDPMSampler:
                    jnp.ones((3, 4, 2)), jnp.ones((3, 4, 2)), 1.0)
         assert calls["batch"] == 3
 
+    def test_traced_weight_matches_static(self):
+        """A traced guidance weight (the serving path: one compiled chain for
+        every weight) is numerically identical to baking the float in."""
+        def model(x, t, m, l):
+            cond = jnp.mean(jnp.abs(m), axis=(1, 2), keepdims=True)[..., None]
+            return jnp.tanh(x) + cond.squeeze(-1) * jnp.ones_like(x)
+
+        x = jax.random.normal(jax.random.key(0), (2, 4, 3))
+        t = jnp.array([5, 5])
+        m = jax.random.normal(jax.random.key(1), (2, 4, 2))
+        l = jax.random.normal(jax.random.key(2), (2, 4, 2))
+
+        traced = jax.jit(
+            lambda gw: guided_eps(model, x, t, m, l, gw))
+        for w in (1.5, 2.1, 3.0):
+            np.testing.assert_allclose(
+                np.asarray(traced(jnp.float32(w))),
+                np.asarray(guided_eps(model, x, t, m, l, w)),
+                rtol=1e-6, atol=1e-6,
+            )
+
 
 class TestDDIM:
     def test_deterministic_when_eta_zero(self):

@@ -117,6 +117,43 @@ class TestServeLoop:
         a, b = (np.load(r["out"])["mel"] for r in resp)
         np.testing.assert_array_equal(a, b)
 
+    def test_guidance_values_share_one_compiled_chain(self, ckpt_dir,
+                                                      clip_npz, tmp_path):
+        """The CFG weight is a traced argument: sweeping guidance must not
+        recompile (each baked weight would cost minutes through the relay)."""
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "g15", "guidance": 1.5, "seed": 3,
+                 "out_dir": str(tmp_path / "g15")},
+                {"npz": clip_npz, "id": "g21", "guidance": 2.1, "seed": 3,
+                 "out_dir": str(tmp_path / "g21")},
+                {"npz": clip_npz, "id": "g30", "guidance": 3.0, "seed": 3,
+                 "out_dir": str(tmp_path / "g30")},
+            ],
+        )
+        assert served == 3 and all(r["ok"] for r in resp)
+        assert len(models._samplers) == 1  # one guided chain for all weights
+        mels = [np.load(r["out"])["mel"] for r in resp]
+        # same noise, different weights -> different outputs
+        assert not np.array_equal(mels[0], mels[1])
+        assert not np.array_equal(mels[1], mels[2])
+
+    def test_sampler_cache_is_lru_capped(self, ckpt_dir, clip_npz, tmp_path):
+        models = load_models(ckpt_dir)
+        models.sampler_cache_max = 2
+        reqs = [
+            {"npz": clip_npz, "id": f"s{k}", "steps": k,
+             "out_dir": str(tmp_path / f"s{k}")}
+            for k in (2, 3, 4)
+        ]
+        served, resp = _run(models, reqs)
+        assert served == 3 and all(r["ok"] for r in resp)
+        assert len(models._samplers) == 2  # oldest geometry evicted
+        keys = list(models._samplers)
+        assert {k[1] for k in keys} == {3, 4}  # steps field of the cache key
+
     def test_batched_request_serves_all_clips_in_one_chain(self, ckpt_dir,
                                                            tmp_path):
         rng = np.random.default_rng(3)
