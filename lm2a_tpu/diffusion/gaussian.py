@@ -117,9 +117,17 @@ def guided_eps(
     letting it constant-fold those rows' cross-attention (exact math, see
     ResBlockUltimate). Requires a model_fn that forwards keyword args.
     """
-    static_off = (
-        isinstance(guidance_weight, (int, float)) and guidance_weight <= 1.0
-    )
+    # Concrete (non-traced) weights <= 1.0 compile the direct conditional
+    # forward with no dead doubled batch. float() rather than isinstance:
+    # numpy scalars (np.float32 etc.) are not float subclasses but must take
+    # the same static path (ADVICE r2).
+    if isinstance(guidance_weight, jax.core.Tracer):
+        static_off = False
+    else:
+        try:
+            static_off = float(guidance_weight) <= 1.0
+        except (TypeError, ValueError):
+            static_off = False
     if static_off or motion_f is None or text_f is None:
         return model_fn(x, t, motion_f, text_f)
     x2 = jnp.concatenate([x, x], axis=0)

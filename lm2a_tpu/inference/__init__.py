@@ -9,11 +9,14 @@ from lm2a_tpu.inference.sample import (
     FALLBACK_MEL_MEAN,
     FALLBACK_MEL_STD,
     LoadedModels,
+    compute_batch_from_npz,
+    compute_single_from_npz,
     generate_mel,
     generate_mel_batch,
     load_models,
     sample_batch_from_npz,
     sample_from_npz,
+    write_clip_outputs,
 )
 
 __all__ = [
@@ -25,6 +28,9 @@ __all__ = [
     "FALLBACK_MEL_MEAN",
     "FALLBACK_MEL_STD",
     "LoadedModels",
+    "compute_batch_from_npz",
+    "compute_single_from_npz",
+    "write_clip_outputs",
     "generate_mel",
     "generate_mel_batch",
     "sample_batch_from_npz",

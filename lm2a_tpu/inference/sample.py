@@ -52,9 +52,13 @@ class LoadedModels:
     # the CFG weight itself is a traced argument, so every weight > 1 shares
     # one compiled chain; batch assessment and the serving loop reuse entries
     # across requests. LRU-capped: a long-lived server with varied request
-    # geometries must not grow compiled programs without bound.
+    # geometries must not grow compiled programs without bound. The default
+    # cap is generous because per-clip eval loops interleave many distinct
+    # mel lengths and every eviction costs a multi-minute recompile through
+    # the relay (ADVICE r2); cli/serve sets a tighter cap for long-lived
+    # processes.
     _samplers: dict = field(default_factory=dict)
-    sampler_cache_max: int = 8
+    sampler_cache_max: int = 64
 
     def _sampler_get(self, key):
         run = self._samplers.get(key)
@@ -351,6 +355,122 @@ def generate_mel_batch(
     return out.transpose(0, 2, 1), motion_rs, lyrics_rs
 
 
+def compute_batch_from_npz(
+    models: LoadedModels,
+    npz_paths,
+    steps: Optional[int] = None,
+    guidance_weight: Optional[float] = None,
+    method: str = "ddpm",
+    seed: int = 0,
+    batch_size: int = 8,
+    ddim_steps: Optional[int] = None,
+):
+    """Device stage of batched multi-clip generation: one per-clip result
+    dict per input path, all arrays already fetched to host. The serving
+    loop uses this + ``write_clip_outputs`` to overlap host IO with the next
+    request's device chain."""
+    by_len: dict = {}
+    for p in npz_paths:
+        s = load_sample(p)
+        mel_t = normalize_mel_layout(s.mel).shape[1]
+        by_len.setdefault(mel_t, []).append((p, s))
+
+    results = []
+    chunk_no = 0  # distinct noise stream per chunk ACROSS length groups —
+    # seed+i alone would repeat keys at equal chunk offsets of different
+    # groups, noise-correlating their outputs
+    for mel_t, group in by_len.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i : i + batch_size]
+            gen, motion_rs, lyrics_rs = generate_mel_batch(
+                models,
+                [s.motion for _, s in chunk],
+                [s.lyrics for _, s in chunk],
+                mel_t,
+                steps=steps, guidance_weight=guidance_weight,
+                method=method, seed=seed + chunk_no, ddim_steps=ddim_steps,
+            )
+            chunk_no += 1
+            for j, (p, s) in enumerate(chunk):
+                results.append({
+                    "base": os.path.splitext(os.path.basename(p))[0],
+                    "gen_mel": gen[j].astype(np.float32),
+                    "motion": motion_rs[j],
+                    "lyrics": lyrics_rs[j],
+                    "sr": s.sr,
+                    "hop_length": s.hop_length,
+                })
+    return results
+
+
+def compute_single_from_npz(
+    models: LoadedModels,
+    npz_path: str,
+    steps: Optional[int] = None,
+    guidance_weight: Optional[float] = None,
+    method: str = "ddpm",
+    seed: int = 0,
+    debug: bool = False,
+    ddim_steps: Optional[int] = None,
+) -> dict:
+    """Device stage of single-clip generation (see compute_batch_from_npz)."""
+    s = load_sample(npz_path)
+    real_mel = normalize_mel_layout(s.mel)
+    mel_t = real_mel.shape[1]
+    gen, motion_f, text_f, motion_rs, lyrics_rs = generate_mel(
+        models, s.motion, s.lyrics, mel_t,
+        steps=steps, guidance_weight=guidance_weight, method=method, seed=seed,
+        debug=debug, ddim_steps=ddim_steps,
+    )
+    gen_mel = gen[0]  # (80, T)
+    if not np.isfinite(gen_mel).all():
+        raise FloatingPointError("sampling produced non-finite values")
+    return {
+        "base": os.path.splitext(os.path.basename(npz_path))[0],
+        "gen_mel": gen_mel.astype(np.float32),
+        "real_mel": real_mel,
+        "motion": motion_rs,
+        "lyrics": lyrics_rs,
+        "motion_proj": motion_f,
+        "lyrics_proj": text_f,
+        "sr": s.sr,
+        "hop_length": s.hop_length,
+    }
+
+
+def write_clip_outputs(result: dict, out_dir: str, save_png: bool = False) -> str:
+    """Host-IO stage: write one clip's ``<base>_gen.npz`` (+optional PNGs,
+    +optional ``wav`` waveform if the result carries one)."""
+    os.makedirs(out_dir, exist_ok=True)
+    base = result["base"]
+    out_npz = os.path.join(out_dir, base + "_gen.npz")
+    extra = {}
+    if "motion_proj" in result:
+        extra = {"motion_proj": result["motion_proj"],
+                 "lyrics_proj": result["lyrics_proj"]}
+    np.savez_compressed(
+        out_npz,
+        mel=result["gen_mel"],
+        motion=result["motion"],
+        lyrics=result["lyrics"],
+        sr=result["sr"],
+        hop_length=result["hop_length"],
+        **extra,
+    )
+    if "wav" in result:
+        from lm2a_tpu.utils.audio import write_wav
+
+        write_wav(os.path.join(out_dir, base + "_gen.wav"),
+                  result["wav"], result.get("wav_sr", result["sr"]))
+    if save_png:
+        _save_mel_png(result["gen_mel"],
+                      os.path.join(out_dir, base + "_gen.png"), "Generated mel")
+        if "real_mel" in result:
+            _save_mel_png(result["real_mel"],
+                          os.path.join(out_dir, base + "_real.png"), "Real mel")
+    return out_npz
+
+
 def sample_batch_from_npz(
     npz_paths,
     ckpt_path: str,
@@ -369,45 +489,13 @@ def sample_batch_from_npz(
     Clips are grouped by mel length and generated ``batch_size`` at a time in
     one compiled chain each; writes a ``<base>_gen.npz`` per clip.
     """
-    os.makedirs(out_dir, exist_ok=True)
     if models is None:
         models = load_models(ckpt_path, cfg=cfg)
-
-    by_len: dict = {}
-    for p in npz_paths:
-        s = load_sample(p)
-        mel_t = normalize_mel_layout(s.mel).shape[1]
-        by_len.setdefault(mel_t, []).append((p, s))
-
-    written = []
-    chunk_no = 0  # distinct noise stream per chunk ACROSS length groups —
-    # seed+i alone would repeat keys at equal chunk offsets of different
-    # groups, noise-correlating their outputs
-    for mel_t, group in by_len.items():
-        for i in range(0, len(group), batch_size):
-            chunk = group[i : i + batch_size]
-            gen, motion_rs, lyrics_rs = generate_mel_batch(
-                models,
-                [s.motion for _, s in chunk],
-                [s.lyrics for _, s in chunk],
-                mel_t,
-                steps=steps, guidance_weight=guidance_weight,
-                method=method, seed=seed + chunk_no, ddim_steps=ddim_steps,
-            )
-            chunk_no += 1
-            for j, (p, s) in enumerate(chunk):
-                base = os.path.splitext(os.path.basename(p))[0]
-                out_npz = os.path.join(out_dir, base + "_gen.npz")
-                np.savez_compressed(
-                    out_npz,
-                    mel=gen[j].astype(np.float32),
-                    motion=motion_rs[j],
-                    lyrics=lyrics_rs[j],
-                    sr=s.sr,
-                    hop_length=s.hop_length,
-                )
-                written.append(out_npz)
-    return written
+    results = compute_batch_from_npz(
+        models, npz_paths, steps=steps, guidance_weight=guidance_weight,
+        method=method, seed=seed, batch_size=batch_size, ddim_steps=ddim_steps,
+    )
+    return [write_clip_outputs(r, out_dir) for r in results]
 
 
 def sample_from_npz(
@@ -425,39 +513,13 @@ def sample_from_npz(
     ddim_steps: Optional[int] = None,
 ) -> str:
     """End-to-end: npz conds + checkpoint -> ``<base>_gen.npz`` (+PNGs)."""
-    os.makedirs(out_dir, exist_ok=True)
-    s = load_sample(npz_path)
-    real_mel = normalize_mel_layout(s.mel)
-    mel_t = real_mel.shape[1]
-
     if models is None:
         models = load_models(ckpt_path, cfg=cfg)
-    gen, motion_f, text_f, motion_rs, lyrics_rs = generate_mel(
-        models, s.motion, s.lyrics, mel_t,
-        steps=steps, guidance_weight=guidance_weight, method=method, seed=seed,
-        debug=debug, ddim_steps=ddim_steps,
+    result = compute_single_from_npz(
+        models, npz_path, steps=steps, guidance_weight=guidance_weight,
+        method=method, seed=seed, debug=debug, ddim_steps=ddim_steps,
     )
-    gen_mel = gen[0]  # (80, T)
-    if not np.isfinite(gen_mel).all():
-        raise FloatingPointError("sampling produced non-finite values")
-
-    base = os.path.splitext(os.path.basename(npz_path))[0]
-    out_npz = os.path.join(out_dir, base + "_gen.npz")
-    np.savez_compressed(
-        out_npz,
-        mel=gen_mel.astype(np.float32),
-        motion=motion_rs,
-        lyrics=lyrics_rs,
-        motion_proj=motion_f,
-        lyrics_proj=text_f,
-        sr=s.sr,
-        hop_length=s.hop_length,
-    )
-
-    if save_png:
-        _save_mel_png(gen_mel, os.path.join(out_dir, base + "_gen.png"), "Generated mel")
-        _save_mel_png(real_mel, os.path.join(out_dir, base + "_real.png"), "Real mel")
-    return out_npz
+    return write_clip_outputs(result, out_dir, save_png=save_png)
 
 
 def _save_mel_png(mel: np.ndarray, path: str, title: str) -> None:

@@ -41,7 +41,11 @@ class Vocoder:
 
             self.params = load_bigvgan_torch(weights_path, cfg)
         else:
-            print("vocoder: no weights file given; using random init (smoke mode)")
+            import sys
+
+            # stderr: stdout may be a serving protocol stream (cli/serve)
+            print("vocoder: no weights file given; using random init "
+                  "(smoke mode)", file=sys.stderr)
             dummy = jnp.zeros((1, 32, cfg.num_mels), jnp.float32)
             self.params = jax.jit(self.model.init)(jax.random.key(0), dummy)
         self._apply = jax.jit(self.model.apply)

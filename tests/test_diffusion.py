@@ -139,6 +139,22 @@ class TestDDPMSampler:
                    jnp.ones((3, 4, 2)), jnp.ones((3, 4, 2)), 1.0)
         assert calls["batch"] == 3
 
+    def test_numpy_scalar_weight_takes_static_path(self):
+        """np.float32 is not a float subclass; a concrete numpy weight <= 1
+        must still compile the single-batch path (ADVICE r2)."""
+        calls = {}
+
+        def spy_model(x, t, m, l):
+            calls["batch"] = x.shape[0]
+            return jnp.zeros_like(x)
+
+        guided_eps(spy_model, jnp.zeros((3, 4, 2)), jnp.zeros(3, dtype=jnp.int32),
+                   jnp.ones((3, 4, 2)), jnp.ones((3, 4, 2)), np.float32(1.0))
+        assert calls["batch"] == 3
+        guided_eps(spy_model, jnp.zeros((3, 4, 2)), jnp.zeros(3, dtype=jnp.int32),
+                   jnp.ones((3, 4, 2)), jnp.ones((3, 4, 2)), np.float32(2.0))
+        assert calls["batch"] == 6  # > 1 still takes the guided path
+
     def test_traced_weight_matches_static(self):
         """A traced guidance weight (the serving path: one compiled chain for
         every weight) is numerically identical to baking the float in."""

@@ -230,3 +230,95 @@ class TestServeLoop:
         assert args.method == "ddim"
         assert args.warmup_t == 516
         assert args.out_dir == "serve_out"
+        assert args.warmup_batch is None and not args.serial
+
+    def test_default_seed_is_position_independent(self, ckpt_dir, clip_npz,
+                                                  tmp_path):
+        """No explicit seed: the seed derives from the request id, so the
+        same request replayed at a different stream position reproduces the
+        same audio (round-2 VERDICT: the old line-counter default did not)."""
+        models = load_models(ckpt_dir)
+        _, resp1 = _run(
+            models,
+            [{"npz": clip_npz, "id": "rep", "out_dir": str(tmp_path / "p0")}],
+        )
+        _, resp2 = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "other", "seed": 5,
+                 "out_dir": str(tmp_path / "other")},
+                {"npz": clip_npz, "id": "rep", "out_dir": str(tmp_path / "p1")},
+            ],
+        )
+        assert resp1[0]["seed"] == resp2[1]["seed"]
+        a = np.load(resp1[0]["out"])["mel"]
+        b = np.load(resp2[1]["out"])["mel"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_wav_request_writes_waveform(self, ckpt_dir, clip_npz, tmp_path):
+        from lm2a_tpu.vocoder import Vocoder, VocoderConfig
+        from lm2a_tpu.utils.audio import read_wav
+
+        tiny = VocoderConfig(
+            upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3, 5),
+            resblock_dilation_sizes=((1, 2), (1, 2)),
+        )
+        voc = Vocoder(weights_path=None, cfg=tiny, fused_sandwich=False)
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [{"npz": clip_npz, "id": "w", "wav": True,
+              "out_dir": str(tmp_path / "w")}],
+            vocoder=voc,
+        )
+        assert served == 1 and resp[0]["ok"]
+        assert resp[0]["wav"].endswith("_gen.wav")
+        y, sr = read_wav(resp[0]["wav"])
+        assert sr == tiny.sample_rate
+        assert y.shape == (48 * tiny.hop,)  # mel T=48 x hop
+        assert np.isfinite(y).all()
+
+    def test_pipelined_stream_keeps_response_order(self, ckpt_dir, tmp_path):
+        """Mixed single/batched/error stream through the two-stage pipeline:
+        responses come back in request order, writes land on disk."""
+        rng = np.random.default_rng(7)
+        paths = []
+        for i in range(2):
+            p = str(tmp_path / f"pipe{i}.npz")
+            save_sample(p, Sample(
+                mel=rng.normal(size=(80, 48)).astype(np.float32),
+                motion=rng.normal(size=(16, 234)).astype(np.float32),
+                lyrics=rng.normal(size=(16, 768)).astype(np.float32),
+            ))
+            paths.append(p)
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [
+                {"npz": paths[0], "id": "r0", "seed": 0},
+                {"npz": paths, "id": "r1", "seed": 1},
+                {"npz": str(tmp_path / "nope.npz"), "id": "r2"},
+                {"npz": paths[1], "id": "r3", "seed": 3},
+            ],
+            out_dir=str(tmp_path / "out"),
+        )
+        assert served == 3
+        assert [r["id"] for r in resp] == ["r0", "r1", "r2", "r3"]
+        assert [r["ok"] for r in resp] == [True, True, False, True]
+        for r in resp:
+            if r["ok"]:
+                outs = r["out"] if isinstance(r["out"], list) else [r["out"]]
+                assert all(os.path.exists(o) for o in outs)
+
+    def test_serial_mode_matches_pipelined(self, ckpt_dir, clip_npz, tmp_path):
+        models = load_models(ckpt_dir)
+        _, resp_p = _run(
+            models, [{"npz": clip_npz, "id": "s", "seed": 11,
+                      "out_dir": str(tmp_path / "p")}])
+        _, resp_s = _run(
+            models, [{"npz": clip_npz, "id": "s", "seed": 11,
+                      "out_dir": str(tmp_path / "s")}], serial=True)
+        a = np.load(resp_p[0]["out"])["mel"]
+        b = np.load(resp_s[0]["out"])["mel"]
+        np.testing.assert_array_equal(a, b)
