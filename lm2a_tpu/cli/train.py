@@ -63,6 +63,15 @@ def build_parser(p=None):
                         "math, one less gradient-tree pass per step). 0 = "
                         "chained clip+Adan (round-1 opt-state layout; "
                         "required to resume checkpoints written with 0)")
+    p.add_argument("--opt_backend", default="xla",
+                   choices=["xla", "pallas"],
+                   help="optimizer+EMA update kernels: 'pallas' runs the "
+                        "bucketed multi-ref fused update (many leaves per "
+                        "kernel launch; same math and state layout)")
+    p.add_argument("--opt_big_backend", default="pallas",
+                   choices=["pallas", "xla"],
+                   help="kernel for leaves too big to bucket when "
+                        "--opt_backend pallas")
     p.add_argument("--amp", action="store_true",
                    help="accepted for reference-script compatibility "
                         "(bf16 is the TPU mixed-precision default)")
@@ -148,6 +157,8 @@ def config_from_args(args):
             opt_dtype=args.opt_dtype,
             rng_impl=args.rng_impl,
             fused_opt=bool(args.fused_opt),
+            opt_backend=args.opt_backend,
+            opt_big_backend=args.opt_big_backend,
             steps_per_call=args.steps_per_call,
             keep_checkpoints=args.keep_checkpoints,
             ckpt_fetch_workers=args.ckpt_fetch_workers,

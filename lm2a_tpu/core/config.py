@@ -126,6 +126,15 @@ class TrainConfig:
     # chain's tuple wrapper — resume checkpoints with the same flag they
     # were written with (False = round-1 layout)
     fused_opt: bool = True
+    # "xla": per-leaf optimizer+EMA fusions (658 kernels at flagship scale);
+    # "pallas": bucketed multi-ref Pallas clip+Adan+EMA update — the
+    # gradient tree is consumed leaf-by-leaf but many leaves share one
+    # kernel launch (ops/pallas_opt.py). Same math, same AdanState layout
+    # (checkpoints interchange); requires fused_opt=1
+    opt_backend: str = "xla"
+    # kernel choice for leaves too big to bucket (traffic-dominated):
+    # "pallas" grid-chunked call per leaf, or "xla" plain expressions
+    opt_big_backend: str = "pallas"
     # optimizer steps fused into one dispatch via lax.scan (1 = classic loop);
     # amortizes host/dispatch latency, at the cost of coarser logging
     steps_per_call: int = 1

@@ -124,8 +124,39 @@ def _loss(
     )
 
 
+def make_pallas_opt_fn(cfg: LM2AConfig):
+    """Build the bucketed multi-ref Pallas clip+Adan+EMA updater from the
+    train config (``ops/pallas_opt.py``). Requires the ``fused_opt`` state
+    layout (bare AdanState — no optax chain wrapper)."""
+    from lm2a_tpu.ops.pallas_opt import fused_adan_ema_update
+
+    tc = cfg.train
+    if not tc.fused_opt:
+        raise ValueError("opt_backend='pallas' needs fused_opt=1 "
+                         "(bare AdanState layout)")
+    sched = make_lr_schedule(tc.lr, tc.lr_decay_steps, tc.lr_decay_factors)
+    state_dtype = None if tc.opt_dtype in ("", "float32") else tc.opt_dtype
+
+    def opt_fn(params, ema_params, opt_state, grads):
+        return fused_adan_ema_update(
+            params, ema_params, opt_state, grads,
+            lr=sched(opt_state.step + 1),
+            ema_decay=tc.ema_decay,
+            weight_decay=tc.weight_decay,
+            grad_clip=tc.grad_clip or 0.0,
+            state_dtype=state_dtype,
+            big_backend=tc.opt_big_backend,
+        )
+
+    return opt_fn
+
+
+def _pallas_opt_from(cfg: LM2AConfig):
+    return make_pallas_opt_fn(cfg) if cfg.train.opt_backend == "pallas" else None
+
+
 def make_update_step(loss_builder, tx: optax.GradientTransformation,
-                     ema_decay: float):
+                     ema_decay: float, pallas_opt=None):
     """THE grad → optimizer → EMA update, single-sourced.
 
     ``loss_builder(params, batch, key, *extra) -> scalar loss``. Returns
@@ -133,19 +164,29 @@ def make_update_step(loss_builder, tx: optax.GradientTransformation,
     plain, fused-dispatch, and device-resident train steps and by
     distillation (``training/distill.py``) so a change to the update rule
     cannot silently diverge one dispatch path from the others.
+
+    ``pallas_opt`` (from ``make_pallas_opt_fn``) replaces the
+    tx.update → apply_updates → EMA tree-lerp tail with the bucketed
+    multi-ref Pallas kernel — same math, ~O(tens) of kernel launches
+    instead of ~658 per-leaf fusions.
     """
 
     def one_step(state: TrainState, batch, key, *extra):
         loss, grads = jax.value_and_grad(loss_builder)(
             state.params, batch, key, *extra
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-            state.ema_params,
-            params,
-        )
+        if pallas_opt is not None:
+            params, ema_params, opt_state = pallas_opt(
+                state.params, state.ema_params, state.opt_state, grads
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params,
+                params,
+            )
         new_state = TrainState(
             step=state.step + 1,
             params=params,
@@ -192,7 +233,7 @@ def make_train_step(
     step_fn = make_update_step(
         _train_loss_builder(denoiser, cond_proj, schedule, cfg,
                             dataset_mean, dataset_std),
-        tx, cfg.train.ema_decay,
+        tx, cfg.train.ema_decay, pallas_opt=_pallas_opt_from(cfg),
     )
 
     if mesh is None:
@@ -229,7 +270,7 @@ def make_multistep_train_step(
     one_step = make_update_step(
         _train_loss_builder(denoiser, cond_proj, schedule, cfg,
                             dataset_mean, dataset_std),
-        tx, cfg.train.ema_decay,
+        tx, cfg.train.ema_decay, pallas_opt=_pallas_opt_from(cfg),
     )
 
     def multi_fn(state, batches, base_key, offsets):
@@ -283,7 +324,7 @@ def make_device_data_multistep(
     one_step = make_update_step(
         _train_loss_builder(denoiser, cond_proj, schedule, cfg,
                             dataset_mean, dataset_std),
-        tx, cfg.train.ema_decay,
+        tx, cfg.train.ema_decay, pallas_opt=_pallas_opt_from(cfg),
     )
 
     bsh = batch_sharding(mesh) if mesh is not None else None
