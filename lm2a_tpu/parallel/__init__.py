@@ -12,6 +12,7 @@ home of the TP (tensor.py: output-feature param sharding) and SP
 
 from lm2a_tpu.parallel.sequence import make_sequence_sharded_sampler
 from lm2a_tpu.parallel.tensor import (
+    make_tp_sampler,
     make_tp_train_step,
     shard_state_tp,
     state_shardings_tp,
@@ -28,6 +29,7 @@ from lm2a_tpu.core.mesh import (
 
 __all__ = [
     "make_sequence_sharded_sampler",
+    "make_tp_sampler",
     "make_tp_train_step",
     "shard_state_tp",
     "state_shardings_tp",

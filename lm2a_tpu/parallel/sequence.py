@@ -60,6 +60,8 @@ def make_sequence_sharded_sampler(
         with mesh:
             return sampler(params, key, shape, motion_f, text_f)
 
+    run.jitted = sampler  # for collective audits
+    run.mesh = mesh
     return run
 
 

@@ -149,3 +149,47 @@ def make_tp_train_step(denoiser, cond_proj, schedule, cfg, tx, mesh: Mesh,
         donate_argnums=0,
     )
     return step, state_sh
+
+
+def make_tp_sampler(apply_fn, schedule, mesh: Mesh, params_template,
+                    guidance_weight: float = 1.0, method: str = "ddpm",
+                    **kwargs):
+    """Sampling chain with tensor-parallel parameters.
+
+    Weights stay physically sharded over the model axis during the whole
+    reverse chain (each device holds 1/TP of every projection — serving a
+    model that outgrows one chip's HBM); activations are replicated over
+    ``model`` and GSPMD inserts the per-layer reductions at the row/column
+    boundaries. Returns ``run(params, key, shape, motion_f, text_f)``;
+    ``params`` must already be placed with the returned shardings (or any
+    layout — GSPMD resharding handles mismatches at a cost).
+    """
+    import functools
+
+    from lm2a_tpu.diffusion.gaussian import ddim_sample, ddpm_sample
+
+    params_sh = tp_shardings(params_template, mesh)
+    rep = NamedSharding(mesh, P())
+    sample_impl = {"ddpm": ddpm_sample, "ddim": ddim_sample}[method]
+
+    @functools.partial(
+        jax.jit, static_argnums=(2,),
+        in_shardings=(params_sh, rep, rep, rep),
+        out_shardings=rep,
+    )
+    def sampler(params, key, shape, motion_f, text_f):
+        def model_fn(x, t, m, l):
+            return apply_fn(params, x, t, m, l)
+
+        return sample_impl(
+            model_fn, schedule, key, shape, motion_f, text_f,
+            guidance_weight=guidance_weight, **kwargs,
+        )
+
+    def run(params, key, shape, motion_f=None, text_f=None):
+        with mesh:
+            return sampler(params, key, shape, motion_f, text_f)
+
+    run.jitted = sampler  # for collective audits
+    run.shardings = params_sh
+    return run
