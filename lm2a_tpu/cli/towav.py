@@ -19,7 +19,10 @@ def build_parser(p=None):
                    help="NVIDIA BigVGAN torch checkpoint (.pt) to convert+load")
     p.add_argument("--preset", default="bigvgan_22khz_80band",
                    choices=["bigvgan_22khz_80band", "bigvgan_base_22khz_80band",
-                            "bigvgan_v2_24khz_100band", "bigvgan_v2_44khz_128band"])
+                            "bigvgan_v2_24khz_100band", "bigvgan_v2_44khz_128band",
+                            "smoke_tiny"],
+                   help="generator geometry; smoke_tiny is a CI-scale config "
+                        "(32-channel, hop 256) for pipeline smoke tests only")
     return p
 
 
@@ -35,11 +38,19 @@ def main(args=None):
         npz_to_wav,
     )
 
+    from lm2a_tpu.vocoder import VocoderConfig
+
     cfg = {
         "bigvgan_22khz_80band": BIGVGAN_22KHZ_80BAND,
         "bigvgan_base_22khz_80band": BIGVGAN_BASE_22KHZ_80BAND,
         "bigvgan_v2_24khz_100band": BIGVGAN_V2_24KHZ_100BAND,
         "bigvgan_v2_44khz_128band": BIGVGAN_V2_44KHZ_128BAND,
+        # hop 4*4*4*4 = 256 like the real 22 kHz geometry, 48x narrower
+        "smoke_tiny": VocoderConfig(
+            upsample_rates=(4, 4, 4, 4), upsample_kernel_sizes=(8, 8, 8, 8),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        ),
     }[args.preset]
     voc = Vocoder(weights_path=args.weights, cfg=cfg)
 
