@@ -31,10 +31,12 @@ from lm2a_tpu.models.embedding import TimestepEmbedding
 
 Dtype = Any
 
-# Serving-path fused resblock engages only up to this many batch rows: its
-# grid iterates rows serially, so XLA's batched matmuls win past CFG-pair
-# size (measured DEVNOTES "Fused resblock kernel" entry).
-FUSED_RESBLOCK_MAX_B = 2
+# Serving-path fused resblock batch-row ceiling. Round 2 gated this at 2
+# because the kernel's grid walked rows serially and lost to XLA's
+# cross-batch matmuls at B=8 CFG (16 rows). Round 3 R-row tiling
+# (ops/pallas_resblock.pick_rows_per_step) batches rows back into the MXU
+# contraction, so the batched-serving path engages too.
+FUSED_RESBLOCK_MAX_B = 16
 
 
 def default_num_groups(channels: int) -> int:
@@ -174,10 +176,8 @@ class ResBlockUltimate(nn.Module):
             and deterministic
             and t_emb is not None
             and not self.is_initializing()
-            # the kernel walks batch rows serially (grid=(B,)); measured on
-            # chip it wins the 1-2 row serving forwards (0.879 -> 0.814 s
-            # per 1000-step chain) but LOSES to XLA's cross-batch matmul
-            # batching at 16 rows (B=8 CFG: 4.53 -> 4.90 s) — gate on rows
+            # R-row tiling batches rows into the kernel's MXU contractions;
+            # ceiling kept as a safety valve for untested huge batches
             and x.shape[0] <= FUSED_RESBLOCK_MAX_B
         ):
             fused = self._fused_chain(x, t_emb)

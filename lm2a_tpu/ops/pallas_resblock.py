@@ -52,6 +52,25 @@ from jax.experimental.pallas import tpu as pltpu
 # headroom under ~16 MB VMEM for activations and compiler scratch).
 VMEM_WEIGHT_BUDGET = 13 * 1024 * 1024
 
+# VMEM modelling for R-row tiling: live fp32 activation copies inside the
+# kernel (x + working h + shift temporaries), and the overall budget shared
+# between weights and activations.
+ACT_LIVE_COPIES = 5
+VMEM_TOTAL_BUDGET = 14 * 1024 * 1024
+
+
+def pick_rows_per_step(b: int, t: int, cin: int, cout: int,
+                       weight_bytes: int) -> int:
+    """Largest divisor of ``b`` (<= 8) whose activation tiles fit VMEM next
+    to the resident weights. R > 1 batches rows into the conv-tap matmul
+    contractions — the cross-batch MXU batching XLA gets for free."""
+    act_row = t * max(cin, cout) * 4 * ACT_LIVE_COPIES
+    budget = max(0, VMEM_TOTAL_BUDGET - weight_bytes)
+    for r in (8, 4, 2, 1):
+        if b % r == 0 and r * act_row <= budget:
+            return r
+    return 1
+
 
 def _group_matrices(c: int, groups: int, dtype):
     """(C, G) one-hot group-assignment matrix: P[c, g] = 1 iff c in group g."""
@@ -94,6 +113,42 @@ def _conv3(h, w_ref, bias, cdtype):
     return down + z1 + up + bias
 
 
+def _gn_silu_rows(h, gamma, beta, p_assign, n_per_group, eps=1e-5):
+    """GroupNorm + SiLU on an (R, T, C) tile: per-ROW (T, group) statistics
+    (each row is one batch element — R-row tiling must not mix rows)."""
+    hf = h.astype(jnp.float32)
+    s = jnp.sum(hf, axis=1)  # (R, C)
+    ss = jnp.sum(hf * hf, axis=1)
+    gs = jnp.dot(s, p_assign, preferred_element_type=jnp.float32)  # (R, G)
+    gss = jnp.dot(ss, p_assign, preferred_element_type=jnp.float32)
+    mean_g = gs / n_per_group
+    var_g = gss / n_per_group - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, p_assign.T, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd_g, p_assign.T, preferred_element_type=jnp.float32)
+    y = (hf - mean_c[:, None, :]) * rstd_c[:, None, :] * gamma + beta
+    return y * jax.nn.sigmoid(y)
+
+
+def _conv3_rows(h, w_ref, bias, cdtype):
+    """SAME conv3 on (R, T, Cin): one (R*T, Cin)x(Cin, Cout) matmul per tap
+    (rows batched into the MXU contraction), shifts applied PER ROW so taps
+    never leak across batch-row boundaries."""
+    r, t, cin = h.shape
+    cout = w_ref.shape[2]
+    hb = h.reshape(r * t, cin).astype(cdtype)
+    z0 = jnp.dot(hb, w_ref[0].astype(cdtype), preferred_element_type=jnp.float32)
+    z1 = jnp.dot(hb, w_ref[1].astype(cdtype), preferred_element_type=jnp.float32)
+    z2 = jnp.dot(hb, w_ref[2].astype(cdtype), preferred_element_type=jnp.float32)
+    z0 = z0.reshape(r, t, cout)
+    z1 = z1.reshape(r, t, cout)
+    z2 = z2.reshape(r, t, cout)
+    zero = jnp.zeros_like(z0[:, :1])
+    down = jnp.concatenate([zero, z0[:, :-1]], axis=1)  # h[t-1] taps
+    up = jnp.concatenate([z2[:, 1:], zero], axis=1)  # h[t+1] taps
+    return down + z1 + up + bias
+
+
 def _resblock_kernel(
     x_ref, g1_ref, b1_ref, w1_ref, c1b_ref, fsc_ref, fsh_ref,
     g2_ref, b2_ref, w2_ref, c2b_ref, *rest,
@@ -107,39 +162,37 @@ def _resblock_kernel(
         sw_ref, sb_ref = None, None
         out_refs = rest
 
-    x = x_ref[0]  # (T, Cin)
-    t = x.shape[0]
-    cin = x.shape[1]
+    x = x_ref[...]  # (R, T, Cin)
+    r, t, cin = x.shape
     cout = w1_ref.shape[2]
 
     p1 = _group_matrices(cin, groups1, jnp.float32)
-    h = _gn_silu(x, g1_ref[...], b1_ref[...], p1, t * (cin // groups1))
-    h = _conv3(h, w1_ref, c1b_ref[...], cdtype)  # (T, Cout) fp32
+    h = _gn_silu_rows(x, g1_ref[...], b1_ref[...], p1, t * (cin // groups1))
+    h = _conv3_rows(h, w1_ref, c1b_ref[...], cdtype)  # (R, T, Cout) fp32
 
-    # FiLM: h * (1 + scale) + shift, per-batch-row vectors (blocks (1, 1, C))
-    h = h * (1.0 + fsc_ref[0].astype(jnp.float32)) + fsh_ref[0].astype(
+    # FiLM: h * (1 + scale) + shift, per-batch-row vectors (blocks (R, 1, C))
+    h = h * (1.0 + fsc_ref[...].astype(jnp.float32)) + fsh_ref[...].astype(
         jnp.float32
     )
 
     p2 = _group_matrices(cout, groups2, jnp.float32)
-    h = _gn_silu(h, g2_ref[...], b2_ref[...], p2, t * (cout // groups2))
-    h = _conv3(h, w2_ref, c2b_ref[...], cdtype)
+    h = _gn_silu_rows(h, g2_ref[...], b2_ref[...], p2, t * (cout // groups2))
+    h = _conv3_rows(h, w2_ref, c2b_ref[...], cdtype)
 
     if has_skip:
-        xs = (
-            jnp.dot(x.astype(cdtype), sw_ref[...].astype(cdtype),
-                    preferred_element_type=jnp.float32)
-            + sb_ref[...]
-        )
+        xs = jnp.dot(
+            x.reshape(r * t, cin).astype(cdtype), sw_ref[...].astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(r, t, cout) + sb_ref[...]
     else:
         xs = x.astype(jnp.float32)
 
     if add_residual:
-        out_refs[0][0] = (xs + h).astype(out_refs[0].dtype)
+        out_refs[0][...] = (xs + h).astype(out_refs[0].dtype)
     else:
-        out_refs[0][0] = h.astype(out_refs[0].dtype)
+        out_refs[0][...] = h.astype(out_refs[0].dtype)
         if has_skip:
-            out_refs[1][0] = xs.astype(out_refs[1].dtype)
+            out_refs[1][...] = xs.astype(out_refs[1].dtype)
 
 
 def fused_resblock_chain(
@@ -161,10 +214,17 @@ def fused_resblock_chain(
     groups2: int,
     add_residual: bool = True,
     interpret: Optional[bool] = None,
+    rows_per_step: Optional[int] = None,
 ):
     """Run the fused resblock conv chain. Returns the block output when
     ``add_residual`` (the no-attention block), else ``h`` — or ``(h, xs)``
     when a skip projection exists — for the caller to attend + add.
+
+    ``rows_per_step`` (auto when None) tiles R batch rows into each grid
+    step: the six conv-tap matmuls contract (R*T, Cin) — recovering XLA's
+    cross-batch MXU batching that the original one-row grid lost at
+    serving batch sizes (round-2 DEVNOTES: B=8 CFG fused 4.90 s vs XLA
+    4.53). GroupNorm statistics and conv shifts remain strictly per-row.
 
     Returns None when the geometry exceeds the VMEM weight budget (caller
     falls back to the XLA path).
@@ -195,8 +255,10 @@ def fused_resblock_chain(
             x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
             gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w, skip_b,
             groups1=groups1, groups2=groups2, add_residual=add_residual,
-            interpret=interpret,
+            interpret=interpret, rows_per_step=rows_per_step,
         )
+
+    r = rows_per_step or pick_rows_per_step(b, t, cin, cout, weight_bytes)
 
     def vec(p, c):  # (C,) params as (1, C) fp32 rows
         return p.reshape(1, c).astype(jnp.float32)
@@ -205,16 +267,16 @@ def fused_resblock_chain(
     const3 = lambda i: (0, 0, 0)  # noqa: E731
 
     in_specs = [
-        pl.BlockSpec((1, t, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, t, cin), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),  # gn1 scale
         pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),  # gn1 bias
         pl.BlockSpec((3, cin, cout), const3, memory_space=pltpu.VMEM),  # w1
         pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # b1
-        # film vectors as (B, 1, C): a (1, C) sublane/lane block per row
+        # film vectors as (B, 1, C): an (R, 1, C) block per grid step
         # (TPU requires the trailing block dims to equal the array's)
-        pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
+        pl.BlockSpec((r, 1, cout), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # film scale
-        pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
+        pl.BlockSpec((r, 1, cout), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),  # film shift
         pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # gn2 scale
         pl.BlockSpec((1, cout), const2, memory_space=pltpu.VMEM),  # gn2 bias
@@ -237,7 +299,7 @@ def fused_resblock_chain(
         ]
         args += [skip_w.astype(cdtype), vec(skip_b, cout)]
 
-    out_spec = pl.BlockSpec((1, t, cout), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((r, t, cout), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     if add_residual or not has_skip:
         out_shape = jax.ShapeDtypeStruct((b, t, cout), x.dtype)
@@ -256,7 +318,7 @@ def fused_resblock_chain(
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // r,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -276,19 +338,20 @@ def fused_resblock_chain(
 
 def _half1_kernel(x_ref, g1_ref, b1_ref, w1_ref, c1b_ref, fsc_ref, fsh_ref,
                   out_ref, *, groups1: int, cdtype):
-    """GN1 + SiLU + conv3 + FiLM -> f (fp32)."""
-    x = x_ref[0]
-    t, cin = x.shape
+    """GN1 + SiLU + conv3 + FiLM -> f (fp32). (R, T, C) tiles."""
+    x = x_ref[...]
+    r, t, cin = x.shape
     p1 = _group_matrices(cin, groups1, jnp.float32)
-    h = _gn_silu(x, g1_ref[...], b1_ref[...], p1, t * (cin // groups1))
-    h = _conv3(h, w1_ref, c1b_ref[...], cdtype)
-    h = h * (1.0 + fsc_ref[0].astype(jnp.float32)) + fsh_ref[0].astype(jnp.float32)
-    out_ref[0] = h.astype(out_ref.dtype)
+    h = _gn_silu_rows(x, g1_ref[...], b1_ref[...], p1, t * (cin // groups1))
+    h = _conv3_rows(h, w1_ref, c1b_ref[...], cdtype)
+    h = h * (1.0 + fsc_ref[...].astype(jnp.float32)) + fsh_ref[...].astype(
+        jnp.float32)
+    out_ref[...] = h.astype(out_ref.dtype)
 
 
 def _half2_kernel(f_ref, g2_ref, b2_ref, w2_ref, c2b_ref, *rest,
                   groups2: int, has_skip: bool, add_residual: bool, cdtype):
-    """GN2 + SiLU + conv3 (+skip projection of x, +residual)."""
+    """GN2 + SiLU + conv3 (+skip projection of x, +residual). (R, T, C)."""
     if has_skip:
         x_ref, sw_ref, sb_ref = rest[0], rest[1], rest[2]
         out_refs = rest[3:]
@@ -296,52 +359,59 @@ def _half2_kernel(f_ref, g2_ref, b2_ref, w2_ref, c2b_ref, *rest,
         x_ref = rest[0]
         out_refs = rest[1:]
 
-    f = f_ref[0].astype(jnp.float32)
-    t, cout = f.shape
+    f = f_ref[...].astype(jnp.float32)
+    r, t, cout = f.shape
     p2 = _group_matrices(cout, groups2, jnp.float32)
-    h = _gn_silu(f, g2_ref[...], b2_ref[...], p2, t * (cout // groups2))
-    h = _conv3(h, w2_ref, c2b_ref[...], cdtype)
+    h = _gn_silu_rows(f, g2_ref[...], b2_ref[...], p2, t * (cout // groups2))
+    h = _conv3_rows(h, w2_ref, c2b_ref[...], cdtype)
 
     if has_skip:
-        xs = (
-            jnp.dot(x_ref[0].astype(cdtype), sw_ref[...].astype(cdtype),
-                    preferred_element_type=jnp.float32)
-            + sb_ref[...]
-        )
+        x = x_ref[...]
+        cin = x.shape[2]
+        xs = jnp.dot(
+            x.reshape(r * t, cin).astype(cdtype), sw_ref[...].astype(cdtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(r, t, cout) + sb_ref[...]
     else:
-        xs = x_ref[0].astype(jnp.float32)
+        xs = x_ref[...].astype(jnp.float32)
 
     if add_residual:
-        out_refs[0][0] = (xs + h).astype(out_refs[0].dtype)
+        out_refs[0][...] = (xs + h).astype(out_refs[0].dtype)
     else:
-        out_refs[0][0] = h.astype(out_refs[0].dtype)
+        out_refs[0][...] = h.astype(out_refs[0].dtype)
         if has_skip:
-            out_refs[1][0] = xs.astype(out_refs[1].dtype)
+            out_refs[1][...] = xs.astype(out_refs[1].dtype)
 
 
 def _fused_chain_split(
     x, gn1_scale, gn1_bias, conv1_w, conv1_b, film_scale, film_shift,
     gn2_scale, gn2_bias, conv2_w, conv2_b, skip_w, skip_b,
     *, groups1: int, groups2: int, add_residual: bool, interpret: bool,
+    rows_per_step: Optional[int] = None,
 ):
     b, t, cin = x.shape
     cout = conv1_w.shape[2]
     has_skip = skip_w is not None
     cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    wsize = jnp.dtype(cdtype).itemsize
+    half_bytes = max(conv1_w.size * wsize,
+                     conv2_w.size * wsize
+                     + (skip_w.size * wsize if has_skip else 0))
+    r = rows_per_step or pick_rows_per_step(b, t, cin, cout, half_bytes)
 
     def vec(p, c):
         return p.reshape(1, c).astype(jnp.float32)
 
     const2 = lambda i: (0, 0)  # noqa: E731
     const3 = lambda i: (0, 0, 0)  # noqa: E731
-    row3 = lambda c: pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),  # noqa: E731
+    row3 = lambda c: pl.BlockSpec((r, 1, c), lambda i: (i, 0, 0),  # noqa: E731
                                   memory_space=pltpu.VMEM)
-    tile = lambda tt, c: pl.BlockSpec((1, tt, c), lambda i: (i, 0, 0),  # noqa: E731
+    tile = lambda tt, c: pl.BlockSpec((r, tt, c), lambda i: (i, 0, 0),  # noqa: E731
                                       memory_space=pltpu.VMEM)
 
     f = pl.pallas_call(
         functools.partial(_half1_kernel, groups1=groups1, cdtype=cdtype),
-        grid=(b,),
+        grid=(b // r,),
         in_specs=[
             tile(t, cin),
             pl.BlockSpec((1, cin), const2, memory_space=pltpu.VMEM),
@@ -389,7 +459,7 @@ def _fused_chain_split(
     return pl.pallas_call(
         functools.partial(_half2_kernel, groups2=groups2, has_skip=has_skip,
                           add_residual=add_residual, cdtype=cdtype),
-        grid=(b,),
+        grid=(b // r,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

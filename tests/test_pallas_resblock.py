@@ -342,3 +342,71 @@ def test_unet_fused_resblock_matches_xla():
                         uncond_rows=1)
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
                                atol=5e-4, rtol=5e-4)
+
+
+class TestRowTiling:
+    """R-row tiling (round 3): rows batched into the MXU contraction must be
+    bit-equal to the one-row grid — GroupNorm statistics and conv3 shifts
+    are strictly per-row, so any cross-row leakage shows up here."""
+
+    @pytest.mark.parametrize("rows", [1, 2, 4, 8])
+    def test_rows_per_step_equivalent(self, rows):
+        from lm2a_tpu.models.factory import build_denoiser  # noqa: F401
+
+        rng = np.random.default_rng(5)
+        b, t, cin, cout = 8, 20, 32, 48
+        x = jnp.asarray(rng.normal(size=(b, t, cin)), jnp.float32)
+        args = dict(
+            gn1_scale=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+            gn1_bias=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+            conv1_w=jnp.asarray(rng.normal(size=(3, cin, cout)) * 0.1, jnp.float32),
+            conv1_b=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            film_scale=jnp.asarray(rng.normal(size=(b, cout)), jnp.float32),
+            film_shift=jnp.asarray(rng.normal(size=(b, cout)), jnp.float32),
+            gn2_scale=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            gn2_bias=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            conv2_w=jnp.asarray(rng.normal(size=(3, cout, cout)) * 0.1, jnp.float32),
+            conv2_b=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            skip_w=jnp.asarray(rng.normal(size=(cin, cout)) * 0.1, jnp.float32),
+            skip_b=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+        )
+        base = fused_resblock_chain(x, *args.values(), groups1=8, groups2=8,
+                                    rows_per_step=1)
+        tiled = fused_resblock_chain(x, *args.values(), groups1=8, groups2=8,
+                                     rows_per_step=rows)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+        # rows must also differ from each other (no row got duplicated)
+        out = np.asarray(tiled)
+        assert not np.allclose(out[0], out[1])
+
+    def test_split_path_rows_equivalent(self, monkeypatch):
+        import lm2a_tpu.ops.pallas_resblock as prb
+
+        # force the split path by shrinking the budget
+        monkeypatch.setattr(prb, "VMEM_WEIGHT_BUDGET", 40 * 1024)
+        rng = np.random.default_rng(9)
+        b, t, cin, cout = 4, 16, 32, 32
+        x = jnp.asarray(rng.normal(size=(b, t, cin)), jnp.float32)
+        args = dict(
+            gn1_scale=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+            gn1_bias=jnp.asarray(rng.normal(size=(cin,)), jnp.float32),
+            conv1_w=jnp.asarray(rng.normal(size=(3, cin, cout)) * 0.1, jnp.float32),
+            conv1_b=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            film_scale=jnp.asarray(rng.normal(size=(b, cout)), jnp.float32),
+            film_shift=jnp.asarray(rng.normal(size=(b, cout)), jnp.float32),
+            gn2_scale=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            gn2_bias=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+            conv2_w=jnp.asarray(rng.normal(size=(3, cout, cout)) * 0.1, jnp.float32),
+            conv2_b=jnp.asarray(rng.normal(size=(cout,)), jnp.float32),
+        )
+        base = prb.fused_resblock_chain(x, *args.values(), None, None,
+                                        groups1=8, groups2=8, rows_per_step=1)
+        tiled = prb.fused_resblock_chain(x, *args.values(), None, None,
+                                         groups1=8, groups2=8, rows_per_step=4)
+        want = resblock_chain_reference(x, *args.values(), None, None,
+                                        groups1=8, groups2=8)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(base),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
