@@ -211,6 +211,73 @@ def main():
         except Exception as e:
             log(f"extra: vocode bench failed: {e}")
         try:
+            # steady-state serve throughput, mel -> wav (round-3 VERDICT #4):
+            # drive the REAL serve_loop with batched wav requests against a
+            # random-init flagship-geometry vocoder; the writer thread
+            # overlaps npz/wav writes with the next request's device chain.
+            import io
+            import tempfile
+
+            from lm2a_tpu.cli.serve import serve_loop
+            from lm2a_tpu.data import Sample, save_sample
+            from lm2a_tpu.inference.sample import LoadedModels
+            from lm2a_tpu.models.factory import build_cond_projection
+            from lm2a_tpu.vocoder import Vocoder
+
+            import numpy as _np
+
+            scfg = __import__("lm2a_tpu.core.config",
+                              fromlist=["LM2AConfig"]).LM2AConfig()
+            import dataclasses as _dc2
+
+            scfg = _dc2.replace(scfg, model=cfg)
+            cond_proj = build_cond_projection(cfg, "bfloat16")
+            cp_params = jax.jit(cond_proj.init)(
+                jax.random.key(21),
+                jnp.zeros((1, T, cfg.motion_dim), jnp.float32),
+                jnp.zeros((1, T, cfg.text_dim), jnp.float32))
+            # serve at DDIM-50 (the few-step serving configuration)
+            models = LoadedModels(
+                cfg=scfg, denoiser=denoiser, cond_proj=cond_proj,
+                unet_params=params, proj_params=cp_params,
+                dataset_mean=-4.637, dataset_std=1.865, timesteps=1000)
+            voc = Vocoder(weights_path=None, compute_dtype=jnp.bfloat16)
+            rng = _np.random.default_rng(0)
+            with tempfile.TemporaryDirectory() as td:
+                clips = []
+                for i in range(8):
+                    p = os.path.join(td, f"clip{i}.npz")
+                    save_sample(p, Sample(
+                        mel=rng.normal(size=(80, T)).astype(_np.float32),
+                        motion=rng.normal(size=(180, 234)).astype(_np.float32),
+                        lyrics=rng.normal(size=(180, 768)).astype(_np.float32)))
+                    clips.append(p)
+                reqs = [json.dumps({"npz": clips, "id": f"warm",
+                                    "method": "ddim", "steps": 1000,
+                                    "guidance": 2.1, "wav": True,
+                                    "out_dir": os.path.join(td, "out")})]
+                outbuf = io.StringIO()
+                serve_loop(models, reqs, outbuf, vocoder=voc,
+                           out_dir=os.path.join(td, "out"))  # warm compile
+                n_req = 3
+                reqs = [json.dumps({"npz": clips, "id": f"r{i}", "seed": i,
+                                    "method": "ddim", "steps": 1000,
+                                    "guidance": 2.1, "wav": True,
+                                    "out_dir": os.path.join(td, "out")})
+                        for i in range(n_req)]
+                outbuf = io.StringIO()
+                t0 = time.perf_counter()
+                served = serve_loop(models, reqs, outbuf, vocoder=voc,
+                                    out_dir=os.path.join(td, "out"))
+                dt = time.perf_counter() - t0
+                clips_per_s = served * len(clips) / dt
+                log(f"extra: serve steady-state (B=8 DDIM-50 mel->wav npz, "
+                    f"{served}x{len(clips)} clips): {dt:.2f}s -> "
+                    f"{clips_per_s:.1f} clips/s ({clips_per_s * 6:.0f}x "
+                    f"realtime)")
+        except Exception as e:
+            log(f"extra: serve bench failed: {e}")
+        try:
             from lm2a_tpu.core.config import MelConfig
             from lm2a_tpu.ops.mel import mel_spectrogram
 
