@@ -27,6 +27,14 @@ reference optimizer (``/root/reference/models/adan.py:147-216``) and EMA
 (``/root/reference/train.py:176-180``). Moment STORAGE may be bfloat16
 (``opt_dtype``); all math is fp32. State layout (separate m/v/n/prev_grad
 trees) matches ``AdanState``, so checkpoints interchange with the XLA path.
+
+MEASURED ON THE REAL CHIP AND CLOSED (round 3,
+``scripts/profile_opt_backend.py``, interleaved full-step A/B): XLA 39.11
+vs pallas-small-buckets 39.10 vs all-pallas 39.7 ms/step — the full train
+step is NOT kernel-launch-bound (round 2's isolated-chain granularity
+delta does not transfer into the full program), so this stays an opt-in
+experiment (``--opt_backend pallas``) with the XLA per-leaf path as the
+production default. See DEVNOTES "POST-GRADIENT MULTI-REF OPTIMIZER".
 """
 
 from __future__ import annotations
