@@ -31,12 +31,15 @@ from lm2a_tpu.models.embedding import TimestepEmbedding
 
 Dtype = Any
 
-# Serving-path fused resblock batch-row ceiling. Round 2 gated this at 2
-# because the kernel's grid walked rows serially and lost to XLA's
-# cross-batch matmuls at B=8 CFG (16 rows). Round 3 R-row tiling
-# (ops/pallas_resblock.pick_rows_per_step) batches rows back into the MXU
-# contraction, so the batched-serving path engages too.
-FUSED_RESBLOCK_MAX_B = 16
+# Serving-path fused resblock batch-row ceiling. Measured across three
+# kernel variants on the real chip (round 3, DEVNOTES "R-row tiling"):
+# the fused kernel WINS the 1-2 row serving forwards (R=2 unrolled rows:
+# headline 0.681 -> 0.673 s/chain, 74.3% MFU) but at B=8 CFG (16 rows)
+# every variant loses to XLA's cross-batch conv batching (XLA 4.46 s vs
+# fused-serial 4.90 / fused-merged 5.11 / fused-unrolled 4.79) — merged
+# row tiles pay a non-layout-free (R*T, C) reshape at T % 8 != 0, and
+# unrolled rows still cannot match XLA's single batched GEMM per conv.
+FUSED_RESBLOCK_MAX_B = 2
 
 
 def default_num_groups(channels: int) -> int:
