@@ -57,6 +57,8 @@ VMEM_WEIGHT_BUDGET = 13 * 1024 * 1024
 # between weights and activations.
 ACT_LIVE_COPIES = 5
 VMEM_TOTAL_BUDGET = 14 * 1024 * 1024
+# per-grid-step activation-stack ceiling for the long-T fuse/decline gate
+ACT_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def pick_rows_per_step(b: int, t: int, cin: int, cout: int,
@@ -243,6 +245,13 @@ def fused_resblock_chain(
     # the fp32 path under-counts by 2x and trips a Mosaic VMEM failure
     # instead of the intended XLA fallback
     cdtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    # Long-T gate: even at one row per grid step the kernel holds ~2 live
+    # fp32 copies of the (T, Cin/Cout) activations on the VMEM stack; past
+    # ~16 MB Mosaic refuses ("scoped vmem limit"). Hit in practice by the
+    # single-pass longform path (T = 2584 at the C=1024 up block OOMed at
+    # 20.5 MB on chip) — fall back to XLA there.
+    if t * (cin + cout) * 4 * 2 > ACT_VMEM_BUDGET:
+        return None
     wsize = jnp.dtype(cdtype).itemsize
     weight_bytes = (conv1_w.size + conv2_w.size) * wsize
     if has_skip:
