@@ -44,7 +44,9 @@ def build_parser(p=None):
     p.add_argument("--loss_schedule", default="x0_snr",
                    help="per-stage distillation loss, comma list or single "
                         "value broadcast: x0_snr (truncated-SNR x0 "
-                        "regression) | eps (plain eps-MSE)")
+                        "regression) | x0_snr_mm (x0_snr + per-sample "
+                        "mean-matching term against the student mean bias) "
+                        "| eps (plain eps-MSE)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -150,7 +152,7 @@ def main(args=None):
         stage_gw = stage_guidance_schedule(len(stages), args.guidance)
     losses_by_stage = [s.strip() for s in args.loss_schedule.split(",")]
     for s in losses_by_stage:
-        if s not in ("x0_snr", "eps"):
+        if s not in ("x0_snr", "x0_snr_mm", "eps"):
             raise SystemExit(f"unknown --loss_schedule entry {s!r}")
     if len(losses_by_stage) == 1:
         losses_by_stage = losses_by_stage * len(stages)

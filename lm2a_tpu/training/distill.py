@@ -193,9 +193,18 @@ def _distill_one_step(
         x0_student = (x_t - s_t * eps_student) / a_t
         snr = (a_t * a_t) / (s_t * s_t)
         w = jnp.maximum(snr, 1.0)
-        return jnp.mean(
-            w * (x0_student - jax.lax.stop_gradient(x0_tgt)) ** 2
-        )
+        diff = x0_student - jax.lax.stop_gradient(x0_tgt)
+        loss = jnp.mean(w * diff ** 2)
+        if loss_space == "x0_snr_mm":
+            # mean-matching term (round 3): distilled-50 students came out
+            # with a +0.7 sigma OUTPUT mean bias that the elementwise loss
+            # barely sees (a constant offset over 80x516 elements is a tiny
+            # fraction of per-element MSE). Penalize the per-sample GLOBAL
+            # mean discrepancy scaled up to full element mass so a mean
+            # error counts as much as the same error spread elementwise.
+            mdiff = jnp.mean(diff, axis=(1, 2))
+            loss = loss + diff[0].size * jnp.mean(w[:, 0, 0] * mdiff ** 2)
+        return loss
 
     # the shared grad->Adan->EMA update (train_step.make_update_step) with
     # the teacher threaded through as the builder's extra argument

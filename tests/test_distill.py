@@ -217,6 +217,37 @@ class TestLossSpace:
         # discriminating signal here
         assert abs(l_eps - l_snr) > 1e-6 * max(abs(l_eps), abs(l_snr))
 
+    def test_mean_match_term_penalizes_mean_bias(self):
+        """x0_snr_mm = x0_snr + a per-sample global-mean discrepancy term
+        scaled to full element mass: its loss must exceed plain x0_snr
+        whenever the student-teacher diff has a nonzero mean (the +0.7
+        sigma distilled-student bias, round 3)."""
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        sched = make_schedule(DiffusionConfig(timesteps=40, beta_end=0.3))
+        teacher_state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                            seq_len=T_MEL)
+        tx = make_optimizer(CFG)
+        rng = np.random.default_rng(6)
+        batch = {
+            "mel": rng.normal(size=(4, T_MEL, 80)).astype(np.float32),
+            "motion": rng.normal(size=(4, T_MEL, 12)).astype(np.float32),
+            "lyrics": rng.normal(size=(4, T_MEL, 24)).astype(np.float32),
+        }
+        losses = {}
+        for space in ("x0_snr", "x0_snr_mm"):
+            step = make_distill_step(
+                den, proj, sched, CFG, tx, num_student_steps=5,
+                guidance_weight=2.1, loss_space=space,
+            )
+            st = jax.tree.map(jnp.copy, teacher_state)
+            _, loss = step(st, teacher_state.params, batch, jax.random.key(9))
+            losses[space] = float(loss)
+        assert np.isfinite(list(losses.values())).all()
+        # a random-init student's diff has nonzero per-sample means, so the
+        # mm term is strictly positive
+        assert losses["x0_snr_mm"] > losses["x0_snr"]
+
 
 class TestCLIPlumbing:
     def test_loss_schedule_reaches_step_builder(self, tmp_path, monkeypatch):
