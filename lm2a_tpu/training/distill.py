@@ -200,10 +200,12 @@ def _distill_one_step(
             # with a +0.7 sigma OUTPUT mean bias that the elementwise loss
             # barely sees (a constant offset over 80x516 elements is a tiny
             # fraction of per-element MSE). Penalize the per-sample GLOBAL
-            # mean discrepancy scaled up to full element mass so a mean
-            # error counts as much as the same error spread elementwise.
+            # mean discrepancy, amplified — but NOT SNR-weighted and NOT at
+            # full element mass: the first cut (size x w) let low-t steps
+            # dominate every gradient and destabilized training (measured:
+            # mse 2.5 -> 6.2, bias 0.7 -> 2.1 sigma).
             mdiff = jnp.mean(diff, axis=(1, 2))
-            loss = loss + diff[0].size * jnp.mean(w[:, 0, 0] * mdiff ** 2)
+            loss = loss + (diff[0].size / 64.0) * jnp.mean(mdiff ** 2)
         return loss
 
     # the shared grad->Adan->EMA update (train_step.make_update_step) with
