@@ -101,11 +101,19 @@ def default_seed(req: dict) -> int:
 class _Writer:
     """Single writer thread + in-order response emitter.
 
-    ``submit`` queues one request's host IO; completed responses are flushed
-    to the stream in request order (a response is only emitted once every
-    earlier request's response has been emitted)."""
+    ``submit`` queues one request's host IO. Emission is driven by the IO
+    thread itself: each future's done-callback drains the in-order prefix of
+    ``pending``, so a completed reply reaches the stream as soon as its IO
+    finishes — the main thread may already be blocked reading the next
+    request (round-3 ADVICE: deferring emission to the next main-thread
+    flush deadlocked lockstep send-one-await-one clients).
+
+    ``ok_count`` counts successfully *emitted* sampling responses — a
+    request whose device compute succeeded but whose host IO failed is not
+    counted (round-3 ADVICE low)."""
 
     def __init__(self, out_stream, serial: bool = False):
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         self.out = out_stream
@@ -113,40 +121,54 @@ class _Writer:
         self.pool = None if serial else ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="serve-io")
         self.pending = collections.deque()
+        self.lock = threading.Lock()
+        self.ok_count = 0
 
     def submit(self, fn, reply_base: dict) -> None:
         """fn() does the host IO and returns extra response fields."""
         if self.serial:
-            self._emit(fn, reply_base)
+            self._emit(fn, reply_base, count=True)
             return
-        self.pending.append((self.pool.submit(fn), reply_base))
-        self.flush(block=False)
+        with self.lock:
+            fut = self.pool.submit(fn)
+            self.pending.append((fut, reply_base))
+        # The callback runs on the IO thread once fn returns (or immediately
+        # here if it somehow already finished) and emits every leading
+        # completed entry in request order.
+        fut.add_done_callback(lambda _f: self._drain())
 
     def emit_now(self, obj: dict) -> None:
-        """Drain everything pending, then write obj (error/cmd replies)."""
-        self.flush(block=True)
-        _reply(self.out, obj)
+        """Drain everything pending (blocking), then write obj (error/cmd
+        replies must not overtake earlier sampling replies)."""
+        with self.lock:
+            while self.pending:
+                fut, base = self.pending.popleft()
+                self._emit(None, base, fut, count=True)
+            _reply(self.out, obj)
 
-    def flush(self, block: bool) -> None:
-        while self.pending:
-            fut, base = self.pending[0]
-            if not block and not fut.done():
-                return
-            self.pending.popleft()
-            self._emit(None, base, fut)
+    def _drain(self) -> None:
+        with self.lock:
+            while self.pending and self.pending[0][0].done():
+                fut, base = self.pending.popleft()
+                self._emit(None, base, fut, count=True)
 
-    def _emit(self, fn, base: dict, fut=None) -> None:
+    def _emit(self, fn, base: dict, fut=None, count: bool = False) -> None:
         try:
             extra = fut.result() if fut is not None else fn()
             _reply(self.out, {**base, **(extra or {})})
+            if count and base.get("ok"):
+                self.ok_count += 1
         except Exception as e:  # write failure -> error reply, keep serving
             _reply(self.out, {"id": base.get("id"), "ok": False,
                               "error": f"{type(e).__name__}: {e}"})
 
     def close(self) -> None:
-        self.flush(block=True)
         if self.pool is not None:
             self.pool.shutdown(wait=True)
+        with self.lock:
+            while self.pending:
+                fut, base = self.pending.popleft()
+                self._emit(None, base, fut, count=True)
 
 
 def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
@@ -154,10 +176,12 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                vocoder=None, vocoder_weights=None, serial=False):
     """Handle an iterable of JSON-line requests; write JSON-line responses.
 
-    Returns the number of successfully served sampling requests. Separated
-    from the CLI so tests can drive it with in-memory streams. ``vocoder``
-    may be a pre-built ``Vocoder`` (tests); otherwise one is created lazily
-    on the first wav request.
+    Returns the number of successfully served sampling requests — i.e.
+    requests whose device compute AND host IO both completed and whose ok
+    reply was emitted (a request whose npz/wav write fails gets an ok:false
+    reply and is not counted). Separated from the CLI so tests can drive it
+    with in-memory streams. ``vocoder`` may be a pre-built ``Vocoder``
+    (tests); otherwise one is created lazily on the first wav request.
     """
     from lm2a_tpu.inference import (
         compute_batch_from_npz,
@@ -165,7 +189,6 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
         write_clip_outputs,
     )
 
-    served = 0
     writer = _Writer(out_stream, serial=serial)
     voc = vocoder
 
@@ -234,7 +257,6 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                         r["wav"] = v.mel_to_wav(r["gen_mel"])[0]
                         r["wav_sr"] = v.cfg.sample_rate
                 secs = round(time.perf_counter() - t0, 3)
-                served += 1
 
                 # ---- host-IO stage (writer thread) ----
                 def io_job(results=results, req_out=req_out, batched=batched,
@@ -256,7 +278,7 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                                  "error": f"{type(e).__name__}: {e}"})
     finally:
         writer.close()
-    return served
+    return writer.ok_count
 
 
 def _reply(stream, obj) -> None:

@@ -270,6 +270,10 @@ def fused_resblock_chain(
             interpret=interpret, rows_per_step=rows_per_step,
         )
 
+    if rows_per_step is not None and b % rows_per_step != 0:
+        # grid=(b // r,) would silently drop the trailing b % r rows
+        raise ValueError(
+            f"rows_per_step={rows_per_step} must divide batch {b}")
     r = rows_per_step or pick_rows_per_step(b, t, cin, cout, weight_bytes)
 
     def vec(p, c):  # (C,) params as (1, C) fp32 rows
@@ -410,6 +414,9 @@ def _fused_chain_split(
     half_bytes = max(conv1_w.size * wsize,
                      conv2_w.size * wsize
                      + (skip_w.size * wsize if has_skip else 0))
+    if rows_per_step is not None and b % rows_per_step != 0:
+        raise ValueError(
+            f"rows_per_step={rows_per_step} must divide batch {b}")
     r = rows_per_step or pick_rows_per_step(b, t, cin, cout, half_bytes)
 
     def vec(p, c):

@@ -311,6 +311,69 @@ class TestServeLoop:
                 outs = r["out"] if isinstance(r["out"], list) else [r["out"]]
                 assert all(os.path.exists(o) for o in outs)
 
+    def test_lockstep_client_gets_reply_without_next_request(
+            self, ckpt_dir, clip_npz, tmp_path):
+        """A send-one-await-one client must receive reply N while the server
+        is already blocked reading request N+1 (round-3 ADVICE high: emission
+        deferred to the next main-thread flush deadlocked lockstep clients).
+        The request iterator only yields request N+1 after reply N has hit
+        the stream; a bounded wait converts the old deadlock into a failure."""
+        import threading
+
+        models = load_models(ckpt_dir)
+
+        class EventStream(io.StringIO):
+            def __init__(self):
+                super().__init__()
+                self.got_line = threading.Event()
+
+            def write(self, s):
+                r = super().write(s)
+                if "\n" in s:
+                    self.got_line.set()
+                return r
+
+        out = EventStream()
+        timed_out = []
+
+        def requests():
+            for i in range(3):
+                out.got_line.clear()
+                yield json.dumps({"npz": clip_npz, "id": f"q{i}", "seed": i,
+                                  "out_dir": str(tmp_path / "out")})
+                if not out.got_line.wait(timeout=60):
+                    timed_out.append(i)
+                    return
+
+        served = serve_loop(models, requests(), out,
+                            out_dir=str(tmp_path / "out"))
+        assert timed_out == [], f"reply never emitted for request {timed_out}"
+        resp = [json.loads(line) for line in out.getvalue().splitlines()]
+        assert served == 3
+        assert [r["id"] for r in resp] == ["q0", "q1", "q2"]
+
+    def test_failed_host_io_not_counted_as_served(self, ckpt_dir, clip_npz,
+                                                  tmp_path):
+        """Device compute succeeds but the npz write fails (out_dir collides
+        with a regular file): the client gets ok:false and the request is NOT
+        counted in the return value (round-3 ADVICE low)."""
+        blocker = tmp_path / "blocked"
+        blocker.write_text("not a directory")
+        models = load_models(ckpt_dir)
+        served, resp = _run(
+            models,
+            [
+                {"npz": clip_npz, "id": "bad-io", "seed": 1,
+                 "out_dir": str(blocker)},
+                {"npz": clip_npz, "id": "good", "seed": 2,
+                 "out_dir": str(tmp_path / "ok")},
+            ],
+        )
+        assert served == 1
+        assert [r["id"] for r in resp] == ["bad-io", "good"]
+        assert [r["ok"] for r in resp] == [False, True]
+        assert "error" in resp[0]
+
     def test_serial_mode_matches_pipelined(self, ckpt_dir, clip_npz, tmp_path):
         models = load_models(ckpt_dir)
         _, resp_p = _run(
