@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Lyric-conditioning steering proof: does generation obey the LYRICS?
+
+Round-4 protocol (VERDICT r3 #2). The synthetic corpus couples each slice's
+lyric phrase to an audible mel property: the phrase's rate bucket sets the
+amplitude-envelope beat rate (1/2/4/8 Hz, ``scripts/make_synth_corpus.py``).
+The envelope rate is independent of the motion-controlled melody line, so a
+generated clip's modulation spectrum is a readout of which LYRICS it
+followed. (Reference anchor: the text branch is half of CrossAttentionFusion,
+``/root/reference/models/cross_attention.py:46-47``, and both CFG branches
+drop with one shared mask, ``/root/reference/train.py:148-157``.)
+
+Protocol, N pairs (default 24):
+  1. classifier sanity — classify REAL test mels' envelope rate (ceiling);
+  2. swap — generate with motion_i + lyrics_j where bucket_j != bucket_i;
+     classify each output; "follows lyrics" = pred == bucket_j;
+  3. control — matched generation (motion_i + lyrics_i), accuracy vs own
+     bucket;
+  4. significance — exact binomial tail of the follows-lyrics count vs the
+     1/len(RATES) chance floor AND vs the follows-motion-donor count;
+  5. motion axis on the same generations — centered frame-cos vs the motion
+     donor vs the lyric donor (the round-3 margin, now at N>=20).
+
+Usage: lyric_swap_eval.py --ckpt <dir> --npz_dir <split> [--n 24]
+       [--steps N] [--guidance 2.1] [--method ddpm|ddim] [--ddim_steps N]
+Exit 1 unless follows-lyrics accuracy is significant (p < 0.01) vs chance.
+"""
+
+import argparse
+import json
+import os
+import sys
+from math import comb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from make_synth_corpus import RATES, phrase_bucket  # noqa: E402
+from condition_swap_eval import centered_framecos  # noqa: E402
+
+MEL_FPS = 22050.0 / 256.0
+
+
+def envelope_rate_scores(mel: np.ndarray, rates=RATES) -> np.ndarray:
+    """Modulation-spectrum score per candidate envelope rate.
+
+    (80, T) log-mel -> mean-over-bins frame energy -> windowed rFFT ->
+    peak magnitude in a +/-20% band around each candidate rate. The rates
+    are octave-separated so the bands never overlap.
+    """
+    e = np.asarray(mel, np.float32).mean(axis=0)
+    e = e - e.mean()
+    w = np.hanning(e.shape[0]).astype(np.float32)
+    spec = np.abs(np.fft.rfft(e * w))
+    freqs = np.fft.rfftfreq(e.shape[0], d=1.0 / MEL_FPS)
+    scores = []
+    for r in rates:
+        band = (freqs >= 0.8 * r) & (freqs <= 1.25 * r)
+        scores.append(float(spec[band].max()) if band.any() else 0.0)
+    return np.asarray(scores, np.float32)
+
+
+def classify_rate(mel: np.ndarray, rates=RATES) -> int:
+    return int(np.argmax(envelope_rate_scores(mel, rates)))
+
+
+def binom_tail(k: int, n: int, p: float) -> float:
+    """P[X >= k] for X ~ Binomial(n, p) (exact, stdlib only)."""
+    return float(sum(comb(n, i) * p**i * (1 - p) ** (n - i)
+                     for i in range(k, n + 1)))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--npz_dir", required=True)
+    ap.add_argument("--n", type=int, default=24, help="swap pairs")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--guidance", type=float, default=2.1)
+    ap.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
+    ap.add_argument("--ddim_steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="generation batch size per compiled chain")
+    args = ap.parse_args()
+
+    from lm2a_tpu.data.schema import load_sample, normalize_mel_layout
+    from lm2a_tpu.inference import generate_mel_batch, load_models
+
+    files = sorted(f for f in os.listdir(args.npz_dir)
+                   if f.endswith(".npz") and f != "motion_stats.npz")
+    # clip -> (sample, bucket); one clip per song (same-song slices share a
+    # melody line, which would soften the motion-axis readout)
+    by_song = {}
+    for f in files:
+        d = np.load(os.path.join(args.npz_dir, f), allow_pickle=True)
+        text = str(d.get("lyric_text", ""))
+        b = phrase_bucket(text)
+        if b < 0:
+            continue
+        song = str(d.get("song_name", f))
+        by_song.setdefault(song, []).append((f, b))
+    rng = np.random.default_rng(args.seed)
+    picks = []  # (file, bucket), one per song, shuffled
+    for song in sorted(by_song):
+        lst = by_song[song]
+        picks.append(lst[rng.integers(len(lst))])
+    rng.shuffle(picks)
+
+    # ---- 1. classifier sanity on REAL mels ----
+    n_sanity = min(48, len(picks))
+    ok_real = 0
+    for f, b in picks[:n_sanity]:
+        s = load_sample(os.path.join(args.npz_dir, f))
+        ok_real += classify_rate(normalize_mel_layout(s.mel)) == b
+    print(f"[sanity] real-mel envelope-rate classification: "
+          f"{ok_real}/{n_sanity} ({ok_real / n_sanity:.2f})", flush=True)
+
+    # ---- pair selection: motion donor i, lyric donor j, buckets differ ----
+    pairs = []
+    pool = list(picks)
+    for idx in range(len(pool)):
+        if len(pairs) >= args.n:
+            break
+        f_i, b_i = pool[idx]
+        # nearest later clip with a different bucket
+        for jdx in range(idx + 1, len(pool)):
+            f_j, b_j = pool[jdx]
+            if b_j != b_i:
+                pairs.append(((f_i, b_i), (f_j, b_j)))
+                break
+    if len(pairs) < args.n:
+        print(f"warning: only {len(pairs)} usable pairs", file=sys.stderr)
+    n = len(pairs)
+
+    clips_m = [load_sample(os.path.join(args.npz_dir, p[0][0])) for p in pairs]
+    clips_l = [load_sample(os.path.join(args.npz_dir, p[1][0])) for p in pairs]
+    mel_t = normalize_mel_layout(clips_m[0].mel).shape[1]
+
+    models = load_models(args.ckpt)
+
+    def gen_batched(motions, lyrics, seed):
+        outs = []
+        for k in range(0, len(motions), args.batch):
+            g, _, _ = generate_mel_batch(
+                models, motions[k:k + args.batch], lyrics[k:k + args.batch],
+                mel_t, steps=args.steps, guidance_weight=args.guidance,
+                method=args.method, ddim_steps=args.ddim_steps, seed=seed + k)
+            outs.extend(np.asarray(g))
+        return outs
+
+    # ---- 2. swap: motion_i + lyrics_j ----
+    gen_swap = gen_batched([c.motion for c in clips_m],
+                           [c.lyrics for c in clips_l], args.seed)
+    # ---- 3. control: matched motion_i + lyrics_i ----
+    gen_ctrl = gen_batched([c.motion for c in clips_m],
+                           [c.lyrics for c in clips_m], args.seed + 10_000)
+
+    k_chance = 1.0 / len(RATES)
+    fl = fm = 0
+    cfc_m, cfc_l = [], []
+    print(f"\n{'row':>3} {'motion-of':>22} {'lyrics-of':>22} "
+          f"{'b_m':>3} {'b_l':>3} {'pred':>4} {'cfc(m)':>7} {'cfc(l)':>7}")
+    reals_m = [normalize_mel_layout(c.mel) for c in clips_m]
+    reals_l = [normalize_mel_layout(c.mel) for c in clips_l]
+    for i, ((f_i, b_i), (f_j, b_j)) in enumerate(pairs):
+        pred = classify_rate(gen_swap[i])
+        fl += pred == b_j
+        fm += pred == b_i
+        cm = centered_framecos(gen_swap[i], reals_m[i])
+        cl = centered_framecos(gen_swap[i], reals_l[i])
+        cfc_m.append(cm)
+        cfc_l.append(cl)
+        print(f"{i:>3} {f_i[:22]:>22} {f_j[:22]:>22} "
+              f"{b_i:>3} {b_j:>3} {pred:>4} {cm:>7.3f} {cl:>7.3f}")
+
+    ctrl_ok = sum(classify_rate(gen_ctrl[i]) == pairs[i][0][1]
+                  for i in range(n))
+
+    p_chance = binom_tail(fl, n, k_chance)
+    # follows-lyrics vs follows-motion-donor: sign test on discordant rows
+    disc = fl + fm
+    p_vs_motion = binom_tail(fl, disc, 0.5) if disc else 1.0
+    mwins = sum(a > b for a, b in zip(cfc_m, cfc_l))
+    dm = np.asarray(cfc_m) - np.asarray(cfc_l)
+    p_motion_axis = binom_tail(mwins, n, 0.5)
+
+    print(f"\n[control] matched-generation rate accuracy: {ctrl_ok}/{n} "
+          f"({ctrl_ok / n:.2f})")
+    print(f"[lyrics]  swap follows LYRIC donor: {fl}/{n} ({fl / n:.2f}); "
+          f"follows motion donor's rate: {fm}/{n}; chance {k_chance:.2f}")
+    print(f"[lyrics]  P(>= {fl} | chance {k_chance:.2f}) = {p_chance:.2e}; "
+          f"sign test lyrics-vs-motion p = {p_vs_motion:.2e}")
+    print(f"[motion]  centered frame-cos: motion donor "
+          f"{np.mean(cfc_m):.3f} vs lyric donor {np.mean(cfc_l):.3f} "
+          f"(margin {np.mean(dm):+.3f}, wins {mwins}/{n}, "
+          f"sign-test p = {p_motion_axis:.2e})")
+
+    ok = p_chance < 0.01 and fl > fm
+    print(json.dumps({
+        "n_pairs": n, "real_sanity": ok_real / n_sanity,
+        "ctrl_acc": ctrl_ok / n, "follows_lyrics": fl, "follows_motion": fm,
+        "p_vs_chance": p_chance, "p_vs_motion": p_vs_motion,
+        "motion_margin": float(np.mean(dm)), "motion_wins": mwins,
+        "p_motion_axis": p_motion_axis, "ok": ok,
+    }))
+    print("VERDICT:", "LYRICS conditioning STEERS generation" if ok
+          else "lyrics steering NOT demonstrated")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,8 +10,21 @@ The corpus is *structured*, not noise: each song carries a slow random-walk
 "melody line"; the audio is a harmonic tone tracking that line (so the
 log-mel has a moving formant) and the SMPL pose track encodes the same line
 in its first pose dimensions (so a conditional model can learn
-motion -> mel). Lyric slices are short deterministic word strings (the
-hashed embedder makes them distinct conditioning vectors).
+motion -> mel).
+
+Round 4 (VERDICT r3 #2 — prove LYRICS conditioning steers): each slice's
+lyric phrase now deterministically controls an audible property of that
+slice's audio. A fixed pool of ``N_PHRASES`` phrases is assigned round-robin
+to ``len(RATES)`` envelope-rate buckets; the slice's amplitude envelope
+beats at ``RATES[bucket]`` Hz (sin^2(pi*rate*t) = (1-cos(2pi*rate*t))/2,
+so the mel-energy modulation fundamental is exactly ``rate`` Hz). The rate
+is phase-continuous across slice boundaries (integer rates x
+integer-second starts => env hits its floor at every boundary) and
+independent of the motion-controlled melody line, so a
+generated clip's envelope rate is a readout of which LYRICS it obeyed —
+see ``scripts/lyric_swap_eval.py``. Phrases repeat across songs/splits by
+design: hashed embeddings carry no semantics, so the model can only
+memorize phrase->rate; held-out clips reuse trained phrases.
 
 Sized to the reference recipe (SURVEY §7 / VERDICT #4): 1868 clips ->
 split 0.7/0.2/0.1 -> 1308/374/186 (the reference's own 1246/356/178 came
@@ -37,9 +50,45 @@ SLICES_PER_SONG = 20
 WORDS = ("echo", "river", "neon", "ember", "static", "velvet", "orbit",
          "cinder", "mirror", "pulse", "hollow", "drift", "signal", "bloom")
 
+# Lyric-controlled envelope rates (Hz): the mel-energy modulation
+# fundamental sits exactly at the rate (1/2/4/8 Hz) — octave-separated and
+# resolvable in a 6 s clip (mel fps ~86.13, FFT df 1/6 Hz).
+RATES = (1.0, 2.0, 4.0, 8.0)
+N_PHRASES = 32
 
-def make_song(rng: np.random.Generator, n_slices: int):
-    """One song: audio (float32), melody line per motion frame, slice starts."""
+
+def _phrase_pool():
+    """Deterministic pool of lyric phrases; phrase i belongs to rate bucket
+    i % len(RATES). Fixed seed so corpus, preprocess and eval agree."""
+    prng = np.random.default_rng(777)
+    pool = []
+    seen = set()
+    while len(pool) < N_PHRASES:
+        p = " ".join(prng.choice(WORDS, size=4))
+        if p not in seen:  # distinct text => distinct hashed embedding
+            seen.add(p)
+            pool.append(p)
+    return tuple(pool)
+
+
+PHRASES = _phrase_pool()
+
+
+def phrase_bucket(text: str) -> int:
+    """Rate bucket of a corpus lyric phrase (-1 for foreign text)."""
+    try:
+        return PHRASES.index(text) % len(RATES)
+    except ValueError:
+        return -1
+
+
+def make_song(rng: np.random.Generator, n_slices: int,
+              slice_rates=None):
+    """One song: audio (float32), melody line per motion frame, slice starts.
+
+    ``slice_rates``: per-slice envelope beat rate in Hz (lyric-controlled);
+    defaults to the legacy constant 2 Hz for all slices.
+    """
     dur = n_slices * CLIP_S
     n_samp = int(dur * SR) + SR  # 1 s tail so the last slice is full-length
     n_frames = int(dur * FPS) + FPS
@@ -59,8 +108,15 @@ def make_song(rng: np.random.Generator, n_slices: int):
     audio = (0.5 * np.sin(phase)
              + 0.2 * np.sin(2.0 * phase)
              + 0.1 * np.sin(3.0 * phase))
-    # rhythmic amplitude envelope (2 Hz beat) + low noise floor
-    env = 0.55 + 0.45 * np.square(np.sin(2.0 * np.pi * 2.0 * t))
+    # rhythmic amplitude envelope: per-slice lyric-controlled beat rate
+    # (legacy: constant 2 Hz). Integer rates + integer-second slice starts
+    # keep env continuous (sin^2 == 0) at every boundary.
+    if slice_rates is None:
+        rate_of_t = np.full(n_samp, 2.0, np.float32)
+    else:
+        slice_idx = np.minimum((t / CLIP_S).astype(np.int64), n_slices - 1)
+        rate_of_t = np.asarray(slice_rates, np.float32)[slice_idx]
+    env = 0.55 + 0.45 * np.square(np.sin(np.pi * rate_of_t * t))
     audio = audio * env + 0.01 * rng.normal(size=n_samp).astype(np.float32)
     audio = (audio / np.max(np.abs(audio)) * 0.9).astype(np.float32)
 
@@ -95,13 +151,16 @@ def main(out_dir: str, n_clips: int = 1868) -> None:
         song = os.path.join(year, f"song_{song_i:04d}")
         os.makedirs(song, exist_ok=True)
 
-        audio, line, starts = make_song(rng, n_slices)
+        # lyric phrase per slice drives that slice's envelope beat rate
+        phrase_ids = rng.integers(0, N_PHRASES, size=n_slices)
+        slice_rates = [RATES[int(p) % len(RATES)] for p in phrase_ids]
+        audio, line, starts = make_song(rng, n_slices, slice_rates=slice_rates)
         write_wav(os.path.join(song, "audio.wav"), audio, SR)
 
         sliced = {}
-        for s in starts:
+        for s, p in zip(starts, phrase_ids):
             m, sec = int(s // 60), s % 60
-            text = " ".join(rng.choice(WORDS, size=4))
+            text = PHRASES[int(p)]
             sliced[f"{m}:{sec:04.1f}" if sec % 1 else f"{m}:{int(sec):02d}"] = text
         with open(os.path.join(song, "sliced.json"), "w") as f:
             json.dump(sliced, f)
