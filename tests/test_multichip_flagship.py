@@ -1,0 +1,212 @@
+"""Flagship-geometry multichip censuses + longform sequence parallelism.
+
+Round-4 VERDICT items #5/#6: the round-3 dryrun censuses ran a width-32,
+T=64 model, so production-dim sharding hazards — the odd 80-channel in/out
+projections, 8 heads over model=2, the T=516/258/129 stage lengths whose
+halos don't divide the model axis — were never exercised on the virtual
+mesh. These tests lower-and-compile the REAL production geometry (base 256,
+T=516, 8 heads, bs16; ``ModelConfig()`` defaults) over the 8-virtual-device
+CPU mesh, assert the compiled HLO's collective census matches the
+small-model censuses, and run one sequence-sharded DDIM sample at the
+longform length sequence parallelism exists for (T=5168 ~ 60 s,
+``parallel/sequence.py:12-14``), checking it against the single-device
+single-pass sampler.
+
+Compile-only where execution would materialize flagship state (134M params
+x Adan's 4 moment trees replicated over 8 virtual devices): ``lower`` is
+fed ShapeDtypeStruct avals, never real arrays.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lm2a_tpu.core.config import (
+    DiffusionConfig,
+    LM2AConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from lm2a_tpu.core.mesh import make_mesh
+from lm2a_tpu.diffusion import make_schedule
+from lm2a_tpu.diffusion.gaussian import ddim_sample
+from lm2a_tpu.models.factory import build_cond_projection, build_denoiser
+from lm2a_tpu.parallel.audit import collective_counts
+from lm2a_tpu.parallel.sequence import make_sequence_sharded_sampler
+from lm2a_tpu.training.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.slow  # flagship-geometry XLA compiles (~minutes)
+
+KNOWN_COLLECTIVES = {
+    "all-reduce", "all-gather", "collective-permute", "all-to-all",
+    "reduce-scatter",
+}
+
+
+def _census(jitted, *args):
+    return collective_counts(jitted.lower(*args).compile())
+
+
+def _flagship_avals(cfg, denoiser, cond_proj, seq_len):
+    """TrainState/batch avals at production dims without materializing
+    the ~3.2 GB state x 8 virtual devices."""
+    state_avals = jax.eval_shape(
+        lambda k: init_train_state(denoiser, cond_proj, cfg, k,
+                                   seq_len=seq_len)[0],
+        jax.random.key(0),
+    )
+    b = cfg.train.batch_size
+    batch_avals = {
+        "mel": jax.ShapeDtypeStruct((b, seq_len, 80), jnp.float32),
+        "motion": jax.ShapeDtypeStruct(
+            (b, seq_len, cfg.model.motion_dim), jnp.float32),
+        "lyrics": jax.ShapeDtypeStruct(
+            (b, seq_len, cfg.model.text_dim), jnp.float32),
+    }
+    return state_avals, batch_avals
+
+
+class TestFlagshipGeometryCensus:
+    """Production-dim (base 256, T=516, 8 heads) collective censuses."""
+
+    @pytest.fixture(scope="class")
+    def flagship(self):
+        cfg = LM2AConfig(
+            model=ModelConfig(),  # production defaults
+            diffusion=DiffusionConfig(timesteps=4),  # chain length is not
+            # a sharding hazard; short schedules keep the scan compile sane
+            train=TrainConfig(batch_size=16),
+        )
+        denoiser = build_denoiser(cfg.model, cfg.train.compute_dtype)
+        cond_proj = build_cond_projection(cfg.model, cfg.train.compute_dtype)
+        state_avals, batch_avals = _flagship_avals(
+            cfg, denoiser, cond_proj, seq_len=516)
+        return cfg, denoiser, cond_proj, state_avals, batch_avals
+
+    def test_dp_train_census(self, flagship):
+        cfg, denoiser, cond_proj, state_avals, batch_avals = flagship
+        schedule = make_schedule(cfg.diffusion)
+        tx = make_optimizer(cfg)
+        mesh = make_mesh()  # data=8
+        step = make_train_step(denoiser, cond_proj, schedule, cfg, tx,
+                               mesh=mesh)
+        census = _census(step, state_avals, batch_avals, jax.random.key(1))
+        # same contract as the small-model dryrun: gradient/loss reductions
+        # only, nothing else at flagship dims either
+        assert set(census) <= {"all-reduce"}, census
+        assert 1 <= sum(census.values()) <= 4, census
+
+    def test_dp_tp_train_census(self, flagship):
+        from lm2a_tpu.parallel.tensor import make_tp_train_step
+
+        cfg, denoiser, cond_proj, state_avals, batch_avals = flagship
+        schedule = make_schedule(cfg.diffusion)
+        tx = make_optimizer(cfg)
+        tp_mesh = make_mesh(model=2)  # 8 heads over model=2, odd 80-ch proj
+        tp_step, _ = make_tp_train_step(
+            denoiser, cond_proj, schedule, cfg, tx, tp_mesh, state_avals)
+        census = _census(tp_step, state_avals, batch_avals, jax.random.key(2))
+        assert set(census) <= KNOWN_COLLECTIVES, census
+        # row/column alternation must add per-layer reductions on top of the
+        # dp gradient all-reduce (absence = TP sharding silently dropped)
+        assert census.get("all-reduce", 0) >= 2, census
+        assert (census.get("all-gather", 0)
+                + census.get("all-to-all", 0)
+                + census.get("reduce-scatter", 0)) >= 1, census
+
+    def test_sp_train_census(self, flagship):
+        from lm2a_tpu.parallel.sequence import make_sp_train_step
+
+        cfg, denoiser, cond_proj, state_avals, batch_avals = flagship
+        schedule = make_schedule(cfg.diffusion)
+        tx = make_optimizer(cfg)
+        sp_mesh = make_mesh(model=2)  # T stages 516/258/129: 129 is odd over
+        # the model axis — the padding hazard the small dryrun never hit
+        step = make_sp_train_step(denoiser, cond_proj, schedule, cfg, tx,
+                                  sp_mesh)
+        census = _census(step, state_avals, batch_avals, jax.random.key(3))
+        assert set(census) <= KNOWN_COLLECTIVES, census
+        assert census.get("all-reduce", 0) >= 1, census
+        # sequence sharding must insert conv halos / attention K-V gathers
+        assert (census.get("collective-permute", 0)
+                + census.get("all-gather", 0)) >= 1, census
+
+    def test_sp_sampler_census(self, flagship):
+        cfg, denoiser, cond_proj, state_avals, batch_avals = flagship
+        schedule = make_schedule(cfg.diffusion)
+        sp_mesh = make_mesh(model=2)
+        sampler = make_sequence_sharded_sampler(
+            denoiser.apply, schedule, sp_mesh, guidance_weight=2.1)
+        unet_avals = {"params": state_avals.params["unet"]}
+        cond_aval = jax.ShapeDtypeStruct(
+            (1, 516, cfg.model.cond_dim), jnp.float32)
+        with sp_mesh:
+            census = _census(sampler.jitted, unet_avals, jax.random.key(4),
+                             (1, 516, 80), cond_aval, cond_aval)
+        assert set(census) <= KNOWN_COLLECTIVES, census
+        assert (census.get("collective-permute", 0)
+                + census.get("all-gather", 0)
+                + census.get("all-to-all", 0)) >= 1, census
+
+
+class TestLongformSequenceParallel:
+    """SP at the length it exists for: one 60 s (T=5168) DDIM sample."""
+
+    def test_sp_longform_matches_single_pass(self):
+        cfg = ModelConfig(
+            base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
+            num_res_blocks=1, mid_blocks=1, attn_heads=2,
+        )
+        T = 5168  # 60 s of mel frames at 22050/256 fps
+        model = build_denoiser(cfg)
+        schedule = make_schedule(DiffusionConfig(timesteps=1000))
+        mesh = make_mesh(model=4)  # T shards 1292 per device (646 at stage 1)
+
+        key = jax.random.key(0)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        motion = jax.random.normal(k1, (1, T, cfg.cond_dim))
+        text = jax.random.normal(k2, (1, T, cfg.cond_dim))
+        x0 = jax.random.normal(k3, (1, T, 80))
+        params = model.init(k4, x0, jnp.zeros((1,), jnp.int32), motion, text)
+
+        sampler = make_sequence_sharded_sampler(
+            model.apply, schedule, mesh, guidance_weight=2.1,
+            method="ddim", num_steps=4, x_init=x0,
+        )
+        with mesh:
+            census = collective_counts(
+                sampler.jitted.lower(params, jax.random.key(7), (1, T, 80),
+                                     motion, text).compile())
+        # the halo/gather collectives are the mechanism; assert they exist
+        assert (census.get("collective-permute", 0)
+                + census.get("all-gather", 0)
+                + census.get("all-to-all", 0)) >= 1, census
+
+        out = sampler(params, jax.random.key(7), (1, T, 80), motion, text)
+        out = np.asarray(out)
+        assert out.shape == (1, T, 80)
+        assert np.isfinite(out).all()
+
+        # single-chip single-pass control: identical math, no sharding
+        def model_fn(x, t, m, l):
+            return model.apply(params, x, t, m, l)
+
+        ref = np.asarray(ddim_sample(
+            model_fn, schedule, jax.random.key(7), (1, T, 80),
+            motion, text, num_steps=4, guidance_weight=2.1, x_init=x0,
+        ))
+        # compare a few windows along the 60 s clip (start / middle / end).
+        # Tolerance: the sharded single FORWARD matches unsharded to 2e-6
+        # (measured); the 4-step chain's clamp boundaries (eps ±5/±10, x0
+        # ±2) amplify reduction-order noise to a measured max of ~3e-4, so
+        # the chain-level gate is 1e-3.
+        for s in (0, T // 2 - 258, T - 516):
+            np.testing.assert_allclose(
+                out[:, s:s + 516], ref[:, s:s + 516], rtol=1e-3, atol=1e-3,
+                err_msg=f"window at frame {s} diverges from single-pass",
+            )
