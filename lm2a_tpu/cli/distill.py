@@ -47,6 +47,10 @@ def build_parser(p=None):
                         "regression) | x0_snr_mm (x0_snr + per-sample "
                         "mean-matching term against the student mean bias) "
                         "| eps (plain eps-MSE)")
+    p.add_argument("--lr_decay", default="none", choices=["none", "cosine"],
+                   help="cosine: decay lr over the WHOLE run (all stages) to "
+                        "lr/100 — later stages train at a lower rate, the "
+                        "round-3 'lower stage LR' lever without a second knob")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -91,6 +95,23 @@ def main(args=None):
     schedule = make_schedule(cfg.diffusion)
 
     template, tx = init_train_state(denoiser, cond_proj, cfg, jax.random.key(args.seed))
+    if args.lr_decay == "cosine":
+        import optax
+
+        from lm2a_tpu.training.adan import adan
+
+        n_stages = 0
+        _n = args.start_steps or 2 * args.student_steps
+        while _n >= args.student_steps:
+            n_stages += 1
+            if _n == args.student_steps:
+                break
+            _n = max(_n // 2, args.student_steps)
+        total = args.steps_per_stage * n_stages
+        lr_sched = optax.cosine_decay_schedule(
+            args.lr, decay_steps=total, alpha=0.01)
+        tx = adan(lr_sched, weight_decay=0.0,
+                  grad_clip=cfg.train.grad_clip or 0.0)
     teacher_state, _ = restore_checkpoint(args.teacher, template)
     # teacher = EMA weights (what serving uses); student starts as a copy.
     # Everything goes device-resident ONCE: a host numpy teacher tree passed

@@ -321,6 +321,50 @@ class TestCLIPlumbing:
         # teacher's 0.999 EMA absorbs only ~45% of a 600-step stage)
         assert seen_ema == [0.5, 0.5], seen_ema
 
+    def test_lr_decay_cosine_runs_and_decays(self, tmp_path):
+        """--lr_decay cosine: the CLI trains with a cosine-decayed LR over
+        all stages and still writes a working student checkpoint."""
+        from lm2a_tpu.cli import distill as cli_distill
+        from lm2a_tpu.data import Sample, save_sample
+        from lm2a_tpu.training.checkpoint import load_metadata, save_checkpoint
+
+        den = build_denoiser(CFG.model)
+        proj = build_cond_projection(CFG.model)
+        state, _ = init_train_state(den, proj, CFG, jax.random.key(0),
+                                    seq_len=T_MEL)
+        teacher_dir = str(tmp_path / "teacher")
+        save_checkpoint(teacher_dir, state, CFG, epoch=0,
+                        dataset_mean=0.0, dataset_std=1.0)
+        teacher = str(sorted(p for p in (tmp_path / "teacher").iterdir()
+                             if p.is_dir())[0])
+        npz_dir = tmp_path / "npz"
+        npz_dir.mkdir()
+        rng = np.random.default_rng(2)
+        for i in range(4):
+            save_sample(
+                str(npz_dir / f"sample_{i:08d}.npz"),
+                Sample(
+                    mel=rng.normal(size=(80, T_MEL)).astype(np.float32),
+                    motion=rng.normal(size=(8, 12)).astype(np.float32),
+                    lyrics=rng.normal(size=(8, 24)).astype(np.float32),
+                ),
+            )
+        cli_distill.main([
+            "--teacher", teacher,
+            "--npz_dir", str(npz_dir),
+            "--save_dir", str(tmp_path / "out"),
+            "--student_steps", "2",
+            "--start_steps", "4",
+            "--steps_per_stage", "2",
+            "--batch_size", "2",
+            "--steps_per_call", "1",
+            "--lr_decay", "cosine",
+        ])
+        outs = sorted(p for p in (tmp_path / "out").iterdir() if p.is_dir())
+        assert outs, "no student checkpoint written"
+        meta = load_metadata(str(outs[-1]))
+        assert meta["distilled_steps"] == 2
+
 
 class TestStageGuidance:
     def test_cfg_folded_exactly_once(self):
