@@ -23,7 +23,9 @@ def build_parser(p=None):
     p.add_argument("--steps", type=int, default=None,
                    help="diffusion schedule length "
                         "(default: the checkpoint's timesteps)")
-    p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--method", default=None, choices=["ddpm", "ddim"],
+                   help="default: ddpm, or the checkpoint's own DDIM grid "
+                        "when sampling a distilled student")
     p.add_argument("--ddim_steps", type=int, default=None,
                    help="DDIM sampler steps over the schedule (default 50)")
     p.add_argument("--seed", type=int, default=0)

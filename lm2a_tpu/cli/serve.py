@@ -66,7 +66,9 @@ def build_parser(p=None):
                    help="default schedule length (default: ckpt timesteps)")
     p.add_argument("--guidance", type=float, default=None,
                    help="default CFG weight (default: ckpt guidance, else 1.0)")
-    p.add_argument("--method", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--method", default=None, choices=["ddpm", "ddim"],
+                   help="default: the checkpoint's distilled DDIM grid when "
+                        "serving a distilled student, else ddpm")
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--vocoder_weights", default=None,
                    help="converted NVIDIA BigVGAN checkpoint for wav requests "
@@ -172,7 +174,7 @@ class _Writer:
 
 
 def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
-               steps=None, guidance=None, method="ddpm", ddim_steps=None,
+               steps=None, guidance=None, method=None, ddim_steps=None,
                vocoder=None, vocoder_weights=None, serial=False):
     """Handle an iterable of JSON-line requests; write JSON-line responses.
 
@@ -296,6 +298,13 @@ def main(args=None):
     models.sampler_cache_max = 16  # long-lived process: bound compiled chains
     print(f"[serve] loaded {args.ckpt} in {time.perf_counter() - t0:.1f}s "
           f"(timesteps={models.timesteps})", file=sys.stderr)
+    from lm2a_tpu.inference.sample import resolve_method
+
+    method, ddim_steps = resolve_method(models, args.method, args.ddim_steps)
+    if models.distilled_steps:
+        print(f"[serve] distilled checkpoint: serving {method}-"
+              f"{ddim_steps} single-forward (folded guidance "
+              f"{models.folded_guidance})", file=sys.stderr)
 
     if args.warmup_t:
         from lm2a_tpu.inference.sample import generate_mel, generate_mel_batch
@@ -311,7 +320,7 @@ def main(args=None):
         t0 = time.perf_counter()
         generate_mel(
             models, m0, l0, args.warmup_t, steps=args.steps,
-            guidance_weight=gw, method=args.method, ddim_steps=args.ddim_steps,
+            guidance_weight=gw, method=method, ddim_steps=ddim_steps,
         )
         print(f"[serve] warmup T={args.warmup_t} guidance={gw} B=1 "
               f"compiled+ran in {time.perf_counter() - t0:.1f}s",
@@ -321,7 +330,7 @@ def main(args=None):
             generate_mel_batch(
                 models, [m0] * args.warmup_batch, [l0] * args.warmup_batch,
                 args.warmup_t, steps=args.steps, guidance_weight=gw,
-                method=args.method, ddim_steps=args.ddim_steps,
+                method=method, ddim_steps=ddim_steps,
             )
             print(f"[serve] warmup B={args.warmup_batch} compiled+ran in "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -329,8 +338,8 @@ def main(args=None):
     print("[serve] ready — one JSON request per line on stdin", file=sys.stderr)
     served = serve_loop(
         models, sys.stdin, sys.stdout, out_dir=args.out_dir,
-        steps=args.steps, guidance=args.guidance, method=args.method,
-        ddim_steps=args.ddim_steps, vocoder_weights=args.vocoder_weights,
+        steps=args.steps, guidance=args.guidance, method=method,
+        ddim_steps=ddim_steps, vocoder_weights=args.vocoder_weights,
         serial=args.serial,
     )
     print(f"[serve] done: {served} requests served", file=sys.stderr)

@@ -48,6 +48,14 @@ class LoadedModels:
     # checkpoint-carried CFG weight; the reference lets a checkpointed
     # 'guidance_weight' override the CLI default (sample.py:140)
     guidance_weight: Optional[float] = None
+    # distilled-student metadata (training/distill.py): the student's DDIM
+    # grid length and the CFG weight folded into its eps. A distilled
+    # checkpoint serves correctly ONLY at method='ddim', ddim_steps=
+    # distilled_steps, guidance 1.0 — load_models sets guidance_weight to
+    # 1.0 and the CLIs default method/steps from these fields (round-4
+    # VERDICT #7: serve warmup defaults to the measured best config).
+    distilled_steps: Optional[int] = None
+    folded_guidance: Optional[float] = None
     # jitted sampler cache keyed by (mel_t, steps, guided?, method, batch) —
     # the CFG weight itself is a traced argument, so every weight > 1 shares
     # one compiled chain; batch assessment and the serving loop reuse entries
@@ -97,6 +105,8 @@ def load_models(
     mean, std = FALLBACK_MEL_MEAN, FALLBACK_MEL_STD
     timesteps = None
     guidance_weight = None
+    distilled_steps = None
+    folded_guidance = None
 
     if fused_resblock is None:
         fused_resblock = jax.default_backend() == "tpu"
@@ -139,6 +149,11 @@ def load_models(
         mean = float(meta.get("dataset_mean", mean))
         std = float(meta.get("dataset_std", std))
         timesteps = cfg.diffusion.timesteps
+        if meta.get("distilled_steps"):
+            distilled_steps = int(meta["distilled_steps"])
+            folded_guidance = float(meta.get("folded_guidance") or 0.0) or None
+            # the fold is baked into the student's eps: serve single-forward
+            guidance_weight = 1.0
     else:  # reference torch .pt file
         from lm2a_tpu.utils.torch_convert import load_torch_checkpoint
 
@@ -162,6 +177,7 @@ def load_models(
         dataset_mean=mean, dataset_std=std,
         timesteps=timesteps or cfg.diffusion.timesteps,
         guidance_weight=guidance_weight,
+        distilled_steps=distilled_steps, folded_guidance=folded_guidance,
     )
 
 
@@ -175,6 +191,18 @@ def _resolve_run_params(models: LoadedModels, steps, guidance_weight):
             models.guidance_weight if models.guidance_weight is not None else 1.0
         )
     return steps, float(guidance_weight)
+
+
+def resolve_method(models: LoadedModels, method: Optional[str] = None,
+                   ddim_steps: Optional[int] = None):
+    """Distilled-aware (method, ddim_steps) resolution: an explicit value
+    wins; a distilled checkpoint defaults to its own DDIM grid (the only
+    configuration it was trained to serve — see training/distill.py)."""
+    if method is None:
+        method = "ddim" if models.distilled_steps else "ddpm"
+    if ddim_steps is None and method == "ddim":
+        ddim_steps = models.distilled_steps  # None for undistilled ckpts
+    return method, ddim_steps
 
 
 def _ddim_num_steps(steps: int, ddim_steps: Optional[int]) -> int:
@@ -200,7 +228,7 @@ def generate_mel(
     mel_t: int,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     batch: int = 1,
     debug: bool = False,
@@ -209,12 +237,16 @@ def generate_mel(
     """Run the sampler; returns (mel (B, 80, mel_T) de-normalized, motion_f,
     text_f). The whole chain is one jitted scan program.
 
+    ``method`` None resolves via ``resolve_method``: ddpm normally, the
+    student's own DDIM grid for a distilled checkpoint.
+
     ``debug=True`` (DDPM only) collects per-step x/eps statistics inside the
     scan and prints per-decile rows with the schedule coefficients — the
     reference's sampling telemetry without a device sync per step.
     """
     cfg = models.cfg
     steps, guidance_weight = _resolve_run_params(models, steps, guidance_weight)
+    method, ddim_steps = resolve_method(models, method, ddim_steps)
     debug = debug and method == "ddpm"
 
     motion_rs = match_len(np.asarray(motion, np.float32), mel_t, mode="interp")
@@ -300,7 +332,7 @@ def generate_mel_batch(
     mel_t: int,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     ddim_steps: Optional[int] = None,
 ):
@@ -308,10 +340,12 @@ def generate_mel_batch(
 
     All clips share one compiled sampler chain (one scan over the batch), so
     per-clip cost amortizes to chain_time / B — the serving path.
+    ``method`` None resolves distilled-aware (``resolve_method``).
     Returns (mel (B, 80, mel_t), motion_rs list, lyrics_rs list).
     """
     cfg = models.cfg
     steps, guidance_weight = _resolve_run_params(models, steps, guidance_weight)
+    method, ddim_steps = resolve_method(models, method, ddim_steps)
     b = len(motions)
     motion_rs = [match_len(np.asarray(m, np.float32), mel_t, "interp") for m in motions]
     lyrics_rs = [match_len(np.asarray(l, np.float32), mel_t, "interp") for l in lyrics_list]
@@ -360,7 +394,7 @@ def compute_batch_from_npz(
     npz_paths,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     batch_size: int = 8,
     ddim_steps: Optional[int] = None,
@@ -408,7 +442,7 @@ def compute_single_from_npz(
     npz_path: str,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     debug: bool = False,
     ddim_steps: Optional[int] = None,
@@ -477,7 +511,7 @@ def sample_batch_from_npz(
     out_dir: str,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     cfg: Optional[LM2AConfig] = None,
     models: Optional[LoadedModels] = None,
@@ -504,7 +538,7 @@ def sample_from_npz(
     out_dir: str,
     steps: Optional[int] = None,
     guidance_weight: Optional[float] = None,
-    method: str = "ddpm",
+    method: Optional[str] = None,
     seed: int = 0,
     cfg: Optional[LM2AConfig] = None,
     save_png: bool = True,

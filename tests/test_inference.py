@@ -85,6 +85,43 @@ class TestOrbaxPath:
                             steps=8, seed=7, save_png=False, models=models)
         np.testing.assert_array_equal(np.load(a)["mel"], np.load(b)["mel"])
 
+    def test_distilled_ckpt_defaults_to_its_own_grid(self, clip_npz,
+                                                     tmp_path):
+        """A distilled student's metadata drives serving defaults (round-4
+        VERDICT #7): method resolves to ddim at distilled_steps, guidance to
+        1.0 (the CFG fold is baked into its eps) — with no CLI flags."""
+        from lm2a_tpu.inference.sample import (
+            _resolve_run_params,
+            resolve_method,
+        )
+
+        denoiser = build_denoiser(CFG.model)
+        cond_proj = build_cond_projection(CFG.model)
+        state, _ = init_train_state(denoiser, cond_proj, CFG,
+                                    jax.random.key(0), seq_len=48)
+        ckpt_dir = str(tmp_path / "student")
+        save_checkpoint(ckpt_dir, state, CFG, epoch=0, dataset_mean=-4.6,
+                        dataset_std=1.86,
+                        extra={"distilled_steps": 4, "folded_guidance": 2.1})
+        ckpt = os.path.join(ckpt_dir, "ckpt_step_0")
+
+        models = load_models(ckpt)
+        assert models.distilled_steps == 4
+        assert models.folded_guidance == pytest.approx(2.1)
+        _, gw = _resolve_run_params(models, None, None)
+        assert gw == 1.0  # single-forward serving
+        assert resolve_method(models, None, None) == ("ddim", 4)
+        # explicit values still win
+        assert resolve_method(models, "ddpm", None) == ("ddpm", None)
+        assert resolve_method(models, None, 8) == ("ddim", 8)
+
+        # end-to-end: no method/steps flags, the student's grid serves
+        out = sample_from_npz(clip_npz, ckpt, str(tmp_path / "out"),
+                              save_png=False, models=models)
+        d = np.load(out)
+        assert d["mel"].shape == (80, 48)
+        assert np.isfinite(d["mel"]).all()
+
 
 @pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
 class TestTorchCheckpointPath:
