@@ -260,14 +260,39 @@ def main():
                 serve_loop(models, reqs, outbuf, vocoder=voc,
                            out_dir=os.path.join(td, "out"))  # warm compile
                 n_req = 3
-                reqs = [json.dumps({"npz": clips, "id": f"r{i}", "seed": i,
-                                    "method": "ddim", "steps": 1000,
-                                    "guidance": 2.1, "wav": True,
-                                    "out_dir": os.path.join(td, "out")})
-                        for i in range(n_req)]
-                outbuf = io.StringIO()
+                req_objs = [{"npz": clips, "id": f"r{i}", "seed": i,
+                             "method": "ddim", "steps": 1000,
+                             "guidance": 2.1, "wav": True,
+                             "out_dir": os.path.join(td, "out")}
+                            for i in range(n_req)]
+
+                # per-request latency under continuous load (round-4 VERDICT
+                # #7): send time = when serve_loop pulls the request from the
+                # stream, reply time = when its response line hits the output
+                # stream (the IO thread emits as soon as host IO finishes)
+                pull_t, reply_t = {}, {}
+
+                def timed_requests():
+                    for r in req_objs:
+                        pull_t[r["id"]] = time.perf_counter()
+                        yield json.dumps(r)
+
+                class TimedOut(io.StringIO):
+                    def write(self, s):
+                        r = super().write(s)
+                        if "\n" in s:
+                            for line in s.strip().splitlines():
+                                try:
+                                    rid = json.loads(line).get("id")
+                                except Exception:
+                                    continue
+                                reply_t.setdefault(rid, time.perf_counter())
+                        return r
+
+                outbuf = TimedOut()
                 t0 = time.perf_counter()
-                served = serve_loop(models, reqs, outbuf, vocoder=voc,
+                served = serve_loop(models, timed_requests(), outbuf,
+                                    vocoder=voc,
                                     out_dir=os.path.join(td, "out"))
                 dt = time.perf_counter() - t0
                 clips_per_s = served * len(clips) / dt
@@ -275,6 +300,15 @@ def main():
                     f"{served}x{len(clips)} clips): {dt:.2f}s -> "
                     f"{clips_per_s:.1f} clips/s ({clips_per_s * 6:.0f}x "
                     f"realtime)")
+                lats = sorted(reply_t[i] - pull_t[i]
+                              for i in pull_t if i in reply_t)
+                if lats:
+                    p50 = lats[len(lats) // 2]
+                    p95 = lats[min(len(lats) - 1,
+                                   int(round(0.95 * (len(lats) - 1))))]
+                    log(f"extra: serve request latency (B=8 batch request, "
+                        f"pull->reply): p50 {p50:.2f}s p95 {p95:.2f}s "
+                        f"over {len(lats)} requests")
         except Exception as e:
             log(f"extra: serve bench failed: {e}")
         try:

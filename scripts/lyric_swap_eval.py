@@ -32,7 +32,9 @@ import os
 import sys
 from math import comb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: lm2a_tpu package
+sys.path.insert(0, _HERE)  # sibling scripts
 
 import numpy as np
 
@@ -45,11 +47,16 @@ MEL_FPS = 22050.0 / 256.0
 def envelope_rate_scores(mel: np.ndarray, rates=RATES) -> np.ndarray:
     """Modulation-spectrum score per candidate envelope rate.
 
-    (80, T) log-mel -> mean-over-bins frame energy -> windowed rFFT ->
-    peak magnitude in a +/-20% band around each candidate rate. The rates
-    are octave-separated so the bands never overlap.
+    (80, T) log-mel -> LINEAR-power frame energy (sum of exp over bins —
+    melody-invariant: the envelope multiplies every harmonic, while melody
+    movement only relocates energy across bins) -> log -> windowed rFFT ->
+    peak magnitude in a +/-20-25% band around each candidate rate. The
+    rates are octave-separated so the bands never overlap. 80/80 on raw
+    corpus mels (the per-bin log-mel mean variant read melody leakage
+    instead and scored ~chance).
     """
-    e = np.asarray(mel, np.float32).mean(axis=0)
+    p = np.exp(np.asarray(mel, np.float32))
+    e = np.log(p.sum(axis=0) + 1e-8)
     e = e - e.mean()
     w = np.hanning(e.shape[0]).astype(np.float32)
     spec = np.abs(np.fft.rfft(e * w))
