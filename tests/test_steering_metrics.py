@@ -54,3 +54,57 @@ def test_centered_framecos_removes_static_structure():
     # different motion -> near-orthogonal residuals (static floor removed)
     assert abs(centered_framecos(a, b)) < 0.35
     assert centered_framecos(a, a) - centered_framecos(a, b) > 0.6
+
+
+# ---- lyric-axis envelope-rate classifier (scripts/lyric_swap_eval.py) ----
+
+from scripts.lyric_swap_eval import (  # noqa: E402
+    MEL_FPS,
+    binom_tail,
+    classify_rate,
+    envelope_rate_scores,
+)
+from scripts.make_synth_corpus import RATES, phrase_bucket, PHRASES  # noqa: E402
+
+
+def rate_mel(rate_hz: float, t_frames: int = 516, floor: float = -4.6,
+             formant_line: float = 0.5) -> np.ndarray:
+    """(80, T) log-mel of a static formant whose LINEAR power is modulated
+    by the corpus envelope (0.55 + 0.45 sin^2(pi r t)) — the mel-domain
+    image of make_synth_corpus's amplitude coupling."""
+    t = np.arange(t_frames, dtype=np.float32) / MEL_FPS
+    env = 0.55 + 0.45 * np.square(np.sin(np.pi * rate_hz * t))
+    mel = formant_mel(np.full(t_frames, formant_line, np.float32),
+                      floor=floor)
+    return mel + 2.0 * np.log(env)[None, :]  # power ~ env^2
+
+
+def test_classifier_recovers_every_rate():
+    for b, r in enumerate(RATES):
+        assert classify_rate(rate_mel(r)) == b, (r, envelope_rate_scores(
+            rate_mel(r)))
+
+
+def test_classifier_robust_to_moving_formant():
+    # melody movement (the MOTION-controlled axis) must not confuse the
+    # lyric-axis readout: linear-power frame energy is formant-invariant
+    t = np.linspace(0, 1, 516, dtype=np.float32)
+    line = 0.5 + 0.4 * np.sin(2 * np.pi * 0.8 * t)  # slow melody walk
+    for b, r in enumerate(RATES):
+        mel = formant_mel(line) + 2.0 * np.log(
+            0.55 + 0.45 * np.square(
+                np.sin(np.pi * r * np.arange(516) / MEL_FPS)))[None, :]
+        assert classify_rate(mel) == b
+
+
+def test_phrase_buckets_cover_all_rates():
+    buckets = {phrase_bucket(p) for p in PHRASES}
+    assert buckets == set(range(len(RATES)))
+    assert phrase_bucket("not a corpus phrase") == -1
+
+
+def test_binom_tail_exact_values():
+    assert binom_tail(0, 10, 0.25) == 1.0
+    assert abs(binom_tail(10, 10, 0.5) - 0.5**10) < 1e-12
+    # monotone in k
+    assert binom_tail(8, 10, 0.25) < binom_tail(2, 10, 0.25)
