@@ -102,8 +102,12 @@ def main():
     by_song = {}
     for f in files:
         d = np.load(os.path.join(args.npz_dir, f), allow_pickle=True)
-        text = str(d.get("lyric_text", ""))
-        b = phrase_bucket(text)
+        raw = d.get("lyric_text", "")
+        if isinstance(raw, np.ndarray):
+            raw = raw.item()
+        if isinstance(raw, bytes):
+            raw = raw.decode("utf-8", "replace")
+        b = phrase_bucket(str(raw))
         if b < 0:
             continue
         song = str(d.get("song_name", f))
