@@ -1,16 +1,22 @@
-"""CLI: progressively distill a trained teacher into a few-step DDIM student.
+"""CLI: distill a trained teacher into a few-step DDIM student.
 
 Framework extension (no reference analogue; the reference hard-codes the
 1000-step ancestral chain, ``/root/reference/sample.py:144``). Loads a
-teacher checkpoint, initializes the student from it, and runs one or more
-halving stages of progressive distillation (``training/distill.py``). The
-resulting checkpoint serves with::
+teacher checkpoint, initializes the student from it, and distills
+(``training/distill.py``). The default is ONE direct stage at the final
+grid (``start_steps == student_steps``) with eps loss — the round-4
+measured winner: distilled-50 beat same-checkpoint DDIM-100 on
+mse/ssim/snr (1.353/0.475/-0.19 vs 1.515/0.411/-0.63, DEVNOTES table).
+Progressive halving ladders (``--start_steps 2*N`` or more) are still
+available but measured WORSE here: every ladder config produced a
++0.5-0.8 sigma output mean bias at the final stage — stage 2's teacher is
+the stage-1 student, so its coarse-grid errors compound into the targets.
 
-    python -m lm2a_tpu.cli sample --ckpt <out>/ckpt_step_N \\
-        --method ddim --ddim_steps <student_steps> --guidance 1.0
+The resulting checkpoint serves with no flags (sample/serve default to a
+distilled checkpoint's own grid at guidance 1.0 — the CFG fold means a
+single forward per step)::
 
-(guidance 1.0: the teacher's CFG weight is folded into the student, so
-serving needs no doubled batch).
+    python -m lm2a_tpu.cli sample --ckpt <out>/ckpt_step_N ...
 """
 
 import argparse
@@ -24,10 +30,15 @@ def build_parser(p=None):
     p.add_argument("--student_steps", type=int, default=50,
                    help="final student DDIM step count")
     p.add_argument("--start_steps", type=int, default=None,
-                   help="first stage's step count (default: 2*student_steps "
-                        "for a single halving stage)")
-    p.add_argument("--steps_per_stage", type=int, default=2000,
-                   help="optimizer steps per halving stage")
+                   help="first stage's step count. Default: student_steps — "
+                        "ONE direct stage at the final grid (the measured "
+                        "round-4 winner; halving ladders compound stage-1 "
+                        "errors into a mean bias). Pass 2*student_steps for "
+                        "the classic halving ladder")
+    p.add_argument("--steps_per_stage", type=int, default=600,
+                   help="optimizer steps per stage (600 measured best; "
+                        "longer x0_snr stages drift toward near-clean-step "
+                        "domination, DEVNOTES round-4 table)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--steps_per_call", type=int, default=25,
                    help="fused optimizer steps per dispatch (packed datasets "
@@ -41,12 +52,12 @@ def build_parser(p=None):
                         "of a 600-step stage into the served EMA weights; "
                         "short distill stages want a faster decay (e.g. "
                         "0.99 absorbs >99%%)")
-    p.add_argument("--loss_schedule", default="x0_snr",
+    p.add_argument("--loss_schedule", default="eps",
                    help="per-stage distillation loss, comma list or single "
-                        "value broadcast: x0_snr (truncated-SNR x0 "
-                        "regression) | x0_snr_mm (x0_snr + per-sample "
-                        "mean-matching term against the student mean bias) "
-                        "| eps (plain eps-MSE)")
+                        "value broadcast: eps (plain eps-MSE — the round-4 "
+                        "winner for direct single-stage distillation) | "
+                        "x0_snr (truncated-SNR x0 regression) | x0_snr_mm "
+                        "(x0_snr + per-sample mean-matching term)")
     p.add_argument("--lr_decay", default="none", choices=["none", "cosine"],
                    help="cosine: decay lr over the WHOLE run (all stages) to "
                         "lr/100 — later stages train at a lower rate, the "
@@ -101,7 +112,7 @@ def main(args=None):
         from lm2a_tpu.training.adan import adan
 
         n_stages = 0
-        _n = args.start_steps or 2 * args.student_steps
+        _n = args.start_steps or args.student_steps
         while _n >= args.student_steps:
             n_stages += 1
             if _n == args.student_steps:
@@ -132,7 +143,7 @@ def main(args=None):
     del teacher_state
 
     ds = _open_dataset(args.npz_dir, cfg.data.align_mode)
-    start = args.start_steps or 2 * args.student_steps
+    start = args.start_steps or args.student_steps
     stages = []
     n = start
     while n >= args.student_steps:
