@@ -303,7 +303,9 @@ def main():
                 lats = sorted(reply_t[i] - pull_t[i]
                               for i in pull_t if i in reply_t)
                 if lats:
-                    p50 = lats[len(lats) // 2]
+                    mid = len(lats) // 2
+                    p50 = (lats[mid] if len(lats) % 2
+                           else 0.5 * (lats[mid - 1] + lats[mid]))
                     p95 = lats[min(len(lats) - 1,
                                    int(round(0.95 * (len(lats) - 1))))]
                     log(f"extra: serve request latency (B=8 batch request, "

@@ -63,11 +63,47 @@ def build_parser(p=None):
                         "lr/100 — later stages train at a lower rate, the "
                         "round-3 'lower stage LR' lever without a second knob")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_interval", type=int, default=0,
+                   help="also checkpoint every N optimizer steps WITHIN a "
+                        "stage (0 = stage-end only). With the axon tunnel's "
+                        "sporadic hangs, mid-stage saves bound the loss of a "
+                        "kill to one interval instead of one stage")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in --save_dir "
+                        "(exact continuation on the packed/device-data path: "
+                        "the batch-index stream is replayed to the saved "
+                        "step). All other flags must match the original run")
     return p
+
+
+def _find_stage_end(save_dir: str, stage_idx: int, steps_per_stage: int):
+    """Newest checkpoint that completed ``stage_idx`` (its student is the
+    next stage's teacher)."""
+    from lm2a_tpu.training.checkpoint import (
+        checkpoint_path,
+        list_checkpoints,
+        load_metadata,
+    )
+
+    best = None
+    for s in list_checkpoints(save_dir):
+        p = checkpoint_path(save_dir, s)
+        prog = load_metadata(p).get("distill_progress") or {}
+        if (prog.get("stage_idx") == stage_idx
+                and prog.get("done_in_stage", 0) >= steps_per_stage):
+            best = p
+    return best
 
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.start_steps is not None and args.start_steps < args.student_steps:
+        # an empty stage ladder would otherwise surface as a cosine-schedule
+        # division by zero / unbound checkpoint path (ADVICE r4)
+        raise SystemExit(
+            f"--start_steps {args.start_steps} must be >= --student_steps "
+            f"{args.student_steps} (stages halve from start_steps down to "
+            "student_steps)")
 
     import jax
     import numpy as np
@@ -154,6 +190,57 @@ def main(args=None):
 
     root = jax.random.key(args.seed + 1)
     gstep = 0
+    resume_stage, resume_done = 0, 0
+    if args.resume:
+        from lm2a_tpu.training.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(args.save_dir)
+        if latest is None:
+            print(f"--resume: no checkpoint under {args.save_dir}; "
+                  "starting fresh", flush=True)
+        else:
+            rmeta = load_metadata(latest)
+            prog = rmeta.get("distill_progress")
+            if not prog:
+                raise SystemExit(
+                    f"--resume: {latest} carries no distill_progress "
+                    "metadata (pre-resume checkpoint); start a fresh "
+                    "--save_dir instead")
+            if prog.get("stages") != stages:
+                raise SystemExit(
+                    f"--resume: checkpoint stages {prog.get('stages')} != "
+                    f"requested {stages}; flags must match the original run")
+            state, _ = restore_checkpoint(latest, template)
+            state = jax.device_put(state)
+            jax.block_until_ready(state)
+            resume_stage = int(prog["stage_idx"])
+            resume_done = int(prog["done_in_stage"])
+            gstep = int(prog["gstep"])
+            if resume_done >= args.steps_per_stage:  # stage finished: next
+                resume_stage += 1
+                resume_done = 0
+                # the restored student IS the completed stage; it becomes
+                # the next stage's teacher
+                teacher_params = jax.tree.map(jnp.copy, state.ema_params)
+            elif resume_stage > 0:
+                prev = _find_stage_end(args.save_dir, resume_stage - 1,
+                                       args.steps_per_stage)
+                if prev is None:
+                    raise SystemExit(
+                        f"--resume: stage {resume_stage - 1} end checkpoint "
+                        f"not found under {args.save_dir} (needed as the "
+                        "resumed stage's teacher)")
+                tstate, _ = restore_checkpoint(prev, template)
+                teacher_params = jax.device_put(
+                    jax.tree.map(np.asarray, tstate.ema_params))
+                del tstate
+            jax.block_until_ready(teacher_params)
+            print(f"resumed {latest}: stage {resume_stage} "
+                  f"step {resume_done}/{args.steps_per_stage} "
+                  f"(gstep {gstep})", flush=True)
+            if resume_stage >= len(stages):
+                print("distillation already complete:", latest)
+                return
     k_fuse = max(1, args.steps_per_call)
     device_data = None
     if k_fuse > 1 and hasattr(ds, "mel"):
@@ -193,12 +280,33 @@ def main(args=None):
             f"--loss_schedule has {len(losses_by_stage)} entries for "
             f"{len(stages)} stages {stages}")
 
-    for stage_n, stage_guidance, stage_loss in zip(stages, stage_gw,
-                                                   losses_by_stage):
+    path = None
+    for stage_idx, (stage_n, stage_guidance, stage_loss) in enumerate(
+            zip(stages, stage_gw, losses_by_stage)):
+        if stage_idx < resume_stage:
+            continue
+        done = resume_done if stage_idx == resume_stage else 0
+        resume_done = 0
+
+        def _save(progress_done, stage_n=stage_n, stage_idx=stage_idx):
+            return save_checkpoint(
+                args.save_dir, state, cfg, epoch=0, dataset_mean=mean,
+                dataset_std=std,
+                extra={"distilled_steps": stage_n,
+                       "folded_guidance": effective_fold,
+                       "teacher": args.teacher,
+                       "distill_progress": {
+                           "stage_idx": stage_idx,
+                           "done_in_stage": int(progress_done),
+                           "gstep": int(gstep),
+                           "stages": stages,
+                       }},
+            )
+
         print(f"stage: student_steps={stage_n}, {args.steps_per_stage} steps,"
               f" teacher guidance {stage_guidance}, loss {stage_loss}",
               flush=True)
-        done = 0
+        last_save = done
         if device_data is not None:
             from lm2a_tpu.training.distill import (
                 make_device_data_multistep_distill,
@@ -213,6 +321,14 @@ def main(args=None):
             n = len(ds)
             b = cfg.train.batch_size
             rng = np.random.default_rng(args.seed + stage_n)
+            # resume: replay the stage's draw sequence up to `done` so the
+            # index stream continues exactly where the killed run stopped
+            # (saves land on multi_fn boundaries, so the k's line up)
+            _d = 0
+            while _d < done:
+                k = min(k_fuse, args.steps_per_stage - _d)
+                rng.integers(0, n, size=(k, b))
+                _d += k
             while done < args.steps_per_stage:
                 k = min(k_fuse, args.steps_per_stage - done)
                 idx = rng.integers(0, n, size=(k, b)).astype(np.int32)
@@ -224,6 +340,11 @@ def main(args=None):
                 print(f"  [{stage_n}] step {done}/{args.steps_per_stage} "
                       f"loss {float(jax.device_get(losses)[-1]):.6f}",
                       flush=True)
+                if (args.save_interval and done < args.steps_per_stage
+                        and done - last_save >= args.save_interval):
+                    last_save = done
+                    print(f"  [{stage_n}] mid-stage checkpoint:"
+                          f" {_save(done)}", flush=True)
         else:
             step_fn = make_distill_step(
                 denoiser, cond_proj, schedule, cfg, tx,
@@ -243,19 +364,18 @@ def main(args=None):
                         print(f"  [{stage_n}] step {done}/"
                               f"{args.steps_per_stage} loss "
                               f"{float(jax.device_get(loss)):.6f}", flush=True)
+                    if (args.save_interval and done < args.steps_per_stage
+                            and done - last_save >= args.save_interval):
+                        last_save = done
+                        print(f"  [{stage_n}] mid-stage checkpoint:"
+                              f" {_save(done)}", flush=True)
                     if done >= args.steps_per_stage:
                         break
         # the next stage's teacher is this stage's student (EMA); a
         # device-side copy so donating `state` can't alias the teacher
         teacher_params = jax.tree.map(jnp.copy, state.ema_params)
         jax.block_until_ready(teacher_params)
-        path = save_checkpoint(
-            args.save_dir, state, cfg, epoch=0, dataset_mean=mean,
-            dataset_std=std,
-            extra={"distilled_steps": stage_n,
-                   "folded_guidance": effective_fold,
-                   "teacher": args.teacher},
-        )
+        path = _save(args.steps_per_stage)
         print(f"stage {stage_n} checkpoint: {path}")
     print("distillation done:", path)
 

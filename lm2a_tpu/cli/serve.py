@@ -226,6 +226,16 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                 if "npz" not in req:
                     raise ValueError("request needs 'npz' (or 'cmd')")
 
+                req_gw = req.get("guidance", guidance)
+                if (models.distilled_steps and req_gw is not None
+                        and float(req_gw) != 1.0):
+                    # a folded student's eps already carries its teacher's
+                    # CFG; re-guiding it doubles the weight (ADVICE r4).
+                    # Honor the explicit request but say so.
+                    print(f"[serve] warning: request {req_id!r} guidance "
+                          f"{req_gw} on a distilled checkpoint (folded "
+                          f"guidance {models.folded_guidance}) double-"
+                          "guides; expect a biased output", file=sys.stderr)
                 seed = int(req.get("seed", default_seed(req)))
                 want_wav = bool(req.get("wav", False))
                 save_png = bool(req.get("png", False))
@@ -238,7 +248,7 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                     results = compute_batch_from_npz(
                         models, list(req["npz"]),
                         steps=req.get("steps", steps),
-                        guidance_weight=req.get("guidance", guidance),
+                        guidance_weight=req_gw,
                         method=req.get("method", method),
                         seed=seed,
                         ddim_steps=req.get("ddim_steps", ddim_steps),
@@ -248,7 +258,7 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                     results = [compute_single_from_npz(
                         models, req["npz"],
                         steps=req.get("steps", steps),
-                        guidance_weight=req.get("guidance", guidance),
+                        guidance_weight=req_gw,
                         method=req.get("method", method),
                         seed=seed,
                         ddim_steps=req.get("ddim_steps", ddim_steps),

@@ -2,7 +2,9 @@
 
 Contract parity with ``/root/reference/val.py:322-347`` (``--ckpt --npz_dir
 --out_dir --max_samples --no-random --seed``; 10 random clips, guidance 2.1,
-1000 steps by default), with --steps/--guidance exposed.
+1000 steps by default), with --steps/--guidance exposed. Guidance resolves
+distilled-aware: a distilled student is assessed at its folded 1.0
+single-forward, an undistilled checkpoint at the protocol's 2.1.
 """
 
 import argparse
@@ -18,7 +20,11 @@ def build_parser(p=None):
                    default=True)
     p.add_argument("--seed", type=int, default=100)
     p.add_argument("--steps", type=int, default=1000)
-    p.add_argument("--guidance", type=float, default=2.1)
+    p.add_argument("--guidance", type=float, default=None,
+                   help="CFG weight. Default: distilled-aware — 2.1 for an "
+                        "undistilled checkpoint (the reference protocol), "
+                        "the folded 1.0 for a distilled student (an "
+                        "explicit 2.1 would double-guide it)")
     return p
 
 

