@@ -36,6 +36,9 @@ Request fields (one JSON object per line on stdin):
                 random-init smoke vocoder with a warning otherwise)
     png         also write gen/real PNGs (default: false — serving skips
                 matplotlib; the npz/wav are the product)
+    compress    true -> compressed response npz (server default: plain
+                np.savez; compression measured ~185 ms/clip host time,
+                >50% of steady-state serve wall — see --compress_npz)
     cmd         "quit" ends the loop; "ping" answers without sampling
 
 Response (one JSON object per line on stdout):
@@ -85,6 +88,13 @@ def build_parser(p=None):
                         "size (list requests use batch geometry)")
     p.add_argument("--serial", action="store_true",
                    help="disable the IO/compute two-stage pipeline")
+    p.add_argument("--compress_npz", action="store_true",
+                   help="write compressed response npz (the reference's "
+                        "sample artifact format). Default OFF for serving: "
+                        "savez_compressed measured ~185 ms/clip on a 1-core "
+                        "host vs 3-5 ms uncompressed — it was >50%% of "
+                        "steady-state serve wall time (round-5 host-path "
+                        "profile)")
     return p
 
 
@@ -175,7 +185,8 @@ class _Writer:
 
 def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                steps=None, guidance=None, method=None, ddim_steps=None,
-               vocoder=None, vocoder_weights=None, serial=False):
+               vocoder=None, vocoder_weights=None, serial=False,
+               compress_npz=False):
     """Handle an iterable of JSON-line requests; write JSON-line responses.
 
     Returns the number of successfully served sampling requests — i.e.
@@ -271,11 +282,15 @@ def serve_loop(models, requests, out_stream, *, out_dir="serve_out",
                 secs = round(time.perf_counter() - t0, 3)
 
                 # ---- host-IO stage (writer thread) ----
+                req_compress = bool(req.get("compress", compress_npz))
+
                 def io_job(results=results, req_out=req_out, batched=batched,
-                           save_png=save_png, want_wav=want_wav):
+                           save_png=save_png, want_wav=want_wav,
+                           compress=req_compress):
                     import os
 
-                    outs = [write_clip_outputs(r, req_out, save_png=save_png)
+                    outs = [write_clip_outputs(r, req_out, save_png=save_png,
+                                               compress=compress)
                             for r in results]
                     resp = {"out": outs if batched else outs[0]}
                     if want_wav:
@@ -350,7 +365,7 @@ def main(args=None):
         models, sys.stdin, sys.stdout, out_dir=args.out_dir,
         steps=args.steps, guidance=args.guidance, method=method,
         ddim_steps=ddim_steps, vocoder_weights=args.vocoder_weights,
-        serial=args.serial,
+        serial=args.serial, compress_npz=args.compress_npz,
     )
     print(f"[serve] done: {served} requests served", file=sys.stderr)
 

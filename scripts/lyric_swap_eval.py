@@ -21,9 +21,20 @@ Protocol, N pairs (default 24):
   5. motion axis on the same generations — centered frame-cos vs the motion
      donor vs the lyric donor (the round-3 margin, now at N>=20).
 
+Round-5 extension (VERDICT r4 #8): the corpus's second lyric-controlled
+property — harmonic stack density (sparse/dense, independent of the rate
+bucket) — is read out on the SAME swapped generations via the
+above-3.5f0 harmonic power ratio (``harmonic_density_score``). Pairs are
+chosen so BOTH buckets differ; the report adds per-channel and joint
+follow rates, and the gate requires both channels significant. Corpora
+built before round 5 carry only the rate channel: pass
+``--properties rate`` there.
+
 Usage: lyric_swap_eval.py --ckpt <dir> --npz_dir <split> [--n 24]
        [--steps N] [--guidance 2.1] [--method ddpm|ddim] [--ddim_steps N]
-Exit 1 unless follows-lyrics accuracy is significant (p < 0.01) vs chance.
+       [--properties rate,density]
+Exit 1 unless follows-lyrics accuracy is significant (p < 0.01) vs chance
+on every read-out property.
 """
 
 import argparse
@@ -38,10 +49,59 @@ sys.path.insert(0, _HERE)  # sibling scripts
 
 import numpy as np
 
-from make_synth_corpus import RATES, phrase_bucket  # noqa: E402
+from make_synth_corpus import RATES, phrase_bucket, phrase_density  # noqa: E402
 from condition_swap_eval import centered_framecos  # noqa: E402
 
 MEL_FPS = 22050.0 / 256.0
+
+# Harmonic-density decision threshold for ``harmonic_density_score``:
+# measured on raw corpus mels (64 slices across 8 songs, all rates), sparse
+# scores <= 0.117 and dense >= 0.376 — 0.2 splits the gap with margin on
+# the sparse side (generations drift toward sparse noise, not dense).
+DENSITY_THRESHOLD = 0.2
+
+
+def _mel_center_freqs() -> np.ndarray:
+    """Center frequency (Hz) of each of the 80 Slaney mel bands."""
+    from lm2a_tpu.ops.mel import _hz_to_mel_slaney, _mel_to_hz_slaney
+
+    m = np.linspace(_hz_to_mel_slaney(0.0), _hz_to_mel_slaney(22050.0 / 2),
+                    82)
+    return np.asarray([_mel_to_hz_slaney(x) for x in m])[1:-1]
+
+
+_CENTERS = None
+
+
+def harmonic_density_score(mel: np.ndarray) -> float:
+    """Above-3.5f0 harmonic power ratio — the harmonic-DENSITY readout.
+
+    (80, T) log-mel -> linear power; per frame, estimate f0 as the peak
+    mel band, then ratio = P[3.5 f0 .. 5.6 f0] / P[1.5 f0 .. 3.5 f0]:
+    the 4th/5th partials exist ONLY in the dense stack
+    (``make_synth_corpus.DENSITY_AMPS``) while the 2nd/3rd exist in both,
+    so the ratio is ~0 for sparse and ~0.4-0.65 for dense, independent of
+    the melody's f0 regime (an absolute above-fundamental fraction is
+    f0-dependent and overlaps — measured). Median over frames; envelope
+    (rate) modulation cancels in the ratio, making the two lyric
+    properties' readouts independent.
+    """
+    global _CENTERS
+    if _CENTERS is None:
+        _CENTERS = _mel_center_freqs()
+    p = np.exp(np.asarray(mel, np.float32))
+    ratios = []
+    for t in range(p.shape[1]):
+        col = p[:, t]
+        f0 = _CENTERS[int(np.argmax(col))]
+        lo = col[(_CENTERS >= 1.5 * f0) & (_CENTERS < 3.5 * f0)].sum()
+        hi = col[(_CENTERS >= 3.5 * f0) & (_CENTERS <= 5.6 * f0)].sum()
+        ratios.append(hi / (lo + 1e-12))
+    return float(np.median(ratios))
+
+
+def classify_density(mel: np.ndarray) -> int:
+    return int(harmonic_density_score(mel) >= DENSITY_THRESHOLD)
 
 
 def envelope_rate_scores(mel: np.ndarray, rates=RATES) -> np.ndarray:
@@ -90,7 +150,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8,
                     help="generation batch size per compiled chain")
+    ap.add_argument("--properties", default="rate,density",
+                    help="comma list of lyric-controlled properties to read "
+                         "out and gate on: rate (envelope beat, 4-way) and/"
+                         "or density (harmonic stack, 2-way). Corpora built "
+                         "before round 5 carry only rate — pass "
+                         "--properties rate there")
     args = ap.parse_args()
+    props = [s.strip() for s in args.properties.split(",") if s.strip()]
+    want_density = "density" in props
 
     from lm2a_tpu.data.schema import load_sample, normalize_mel_layout
     from lm2a_tpu.inference import generate_mel_batch, load_models
@@ -111,7 +179,7 @@ def main():
         if b < 0:
             continue
         song = str(d.get("song_name", f))
-        by_song.setdefault(song, []).append((f, b))
+        by_song.setdefault(song, []).append((f, b, phrase_density(str(raw))))
     rng = np.random.default_rng(args.seed)
     picks = []  # (file, bucket), one per song, shuffled
     for song in sorted(by_song):
@@ -121,25 +189,33 @@ def main():
 
     # ---- 1. classifier sanity on REAL mels ----
     n_sanity = min(48, len(picks))
-    ok_real = 0
-    for f, b in picks[:n_sanity]:
+    ok_real = ok_real_d = 0
+    for f, b, dd in picks[:n_sanity]:
         s = load_sample(os.path.join(args.npz_dir, f))
-        ok_real += classify_rate(normalize_mel_layout(s.mel)) == b
+        mel = normalize_mel_layout(s.mel)
+        ok_real += classify_rate(mel) == b
+        ok_real_d += classify_density(mel) == dd
     print(f"[sanity] real-mel envelope-rate classification: "
           f"{ok_real}/{n_sanity} ({ok_real / n_sanity:.2f})", flush=True)
+    if want_density:
+        print(f"[sanity] real-mel harmonic-density classification: "
+              f"{ok_real_d}/{n_sanity} ({ok_real_d / n_sanity:.2f})",
+              flush=True)
 
-    # ---- pair selection: motion donor i, lyric donor j, buckets differ ----
+    # ---- pair selection: motion donor i, lyric donor j; every read-out
+    # property's bucket must differ so following the lyric donor is
+    # distinguishable on each channel ----
     pairs = []
     pool = list(picks)
     for idx in range(len(pool)):
         if len(pairs) >= args.n:
             break
-        f_i, b_i = pool[idx]
-        # nearest later clip with a different bucket
+        f_i, b_i, d_i = pool[idx]
+        # nearest later clip whose buckets all differ
         for jdx in range(idx + 1, len(pool)):
-            f_j, b_j = pool[jdx]
-            if b_j != b_i:
-                pairs.append(((f_i, b_i), (f_j, b_j)))
+            f_j, b_j, d_j = pool[jdx]
+            if b_j != b_i and (not want_density or d_j != d_i):
+                pairs.append(((f_i, b_i, d_i), (f_j, b_j, d_j)))
                 break
     if len(pairs) < args.n:
         print(f"warning: only {len(pairs)} usable pairs", file=sys.stderr)
@@ -169,25 +245,33 @@ def main():
                            [c.lyrics for c in clips_m], args.seed + 10_000)
 
     k_chance = 1.0 / len(RATES)
-    fl = fm = 0
+    fl = fm = fl_d = fm_d = joint = 0
     cfc_m, cfc_l = [], []
     print(f"\n{'row':>3} {'motion-of':>22} {'lyrics-of':>22} "
-          f"{'b_m':>3} {'b_l':>3} {'pred':>4} {'cfc(m)':>7} {'cfc(l)':>7}")
+          f"{'b_m':>3} {'b_l':>3} {'pred':>4} {'d_m':>3} {'d_l':>3} "
+          f"{'pd':>3} {'cfc(m)':>7} {'cfc(l)':>7}")
     reals_m = [normalize_mel_layout(c.mel) for c in clips_m]
     reals_l = [normalize_mel_layout(c.mel) for c in clips_l]
-    for i, ((f_i, b_i), (f_j, b_j)) in enumerate(pairs):
+    for i, ((f_i, b_i, d_i), (f_j, b_j, d_j)) in enumerate(pairs):
         pred = classify_rate(gen_swap[i])
+        pred_d = classify_density(gen_swap[i])
         fl += pred == b_j
         fm += pred == b_i
+        fl_d += pred_d == d_j
+        fm_d += pred_d == d_i
+        joint += (pred == b_j) and (pred_d == d_j)
         cm = centered_framecos(gen_swap[i], reals_m[i])
         cl = centered_framecos(gen_swap[i], reals_l[i])
         cfc_m.append(cm)
         cfc_l.append(cl)
         print(f"{i:>3} {f_i[:22]:>22} {f_j[:22]:>22} "
-              f"{b_i:>3} {b_j:>3} {pred:>4} {cm:>7.3f} {cl:>7.3f}")
+              f"{b_i:>3} {b_j:>3} {pred:>4} {d_i:>3} {d_j:>3} {pred_d:>3} "
+              f"{cm:>7.3f} {cl:>7.3f}")
 
     ctrl_ok = sum(classify_rate(gen_ctrl[i]) == pairs[i][0][1]
                   for i in range(n))
+    ctrl_ok_d = sum(classify_density(gen_ctrl[i]) == pairs[i][0][2]
+                    for i in range(n))
 
     p_chance = binom_tail(fl, n, k_chance)
     # follows-lyrics vs follows-motion-donor: sign test on discordant rows
@@ -197,26 +281,49 @@ def main():
     dm = np.asarray(cfc_m) - np.asarray(cfc_l)
     p_motion_axis = binom_tail(mwins, n, 0.5)
 
+    # density channel: binary, chance 0.5; joint channel chance = product
+    p_chance_d = binom_tail(fl_d, n, 0.5)
+    p_joint = binom_tail(joint, n, k_chance * 0.5)
+
     print(f"\n[control] matched-generation rate accuracy: {ctrl_ok}/{n} "
           f"({ctrl_ok / n:.2f})")
+    if want_density:
+        print(f"[control] matched-generation density accuracy: "
+              f"{ctrl_ok_d}/{n} ({ctrl_ok_d / n:.2f})")
     print(f"[lyrics]  swap follows LYRIC donor: {fl}/{n} ({fl / n:.2f}); "
           f"follows motion donor's rate: {fm}/{n}; chance {k_chance:.2f}")
     print(f"[lyrics]  P(>= {fl} | chance {k_chance:.2f}) = {p_chance:.2e}; "
           f"sign test lyrics-vs-motion p = {p_vs_motion:.2e}")
+    if want_density:
+        print(f"[density] swap follows LYRIC donor's density: {fl_d}/{n} "
+              f"({fl_d / n:.2f}); motion donor's: {fm_d}/{n}; chance 0.50")
+        print(f"[density] P(>= {fl_d} | chance 0.50) = {p_chance_d:.2e}")
+        print(f"[joint]   swap follows BOTH lyric properties: {joint}/{n}; "
+              f"chance {k_chance * 0.5:.3f}; "
+              f"P(>= {joint}) = {p_joint:.2e}")
     print(f"[motion]  centered frame-cos: motion donor "
           f"{np.mean(cfc_m):.3f} vs lyric donor {np.mean(cfc_l):.3f} "
           f"(margin {np.mean(dm):+.3f}, wins {mwins}/{n}, "
           f"sign-test p = {p_motion_axis:.2e})")
 
     ok = p_chance < 0.01 and fl > fm
+    if want_density:
+        ok = ok and p_chance_d < 0.01 and fl_d > fm_d
     print(json.dumps({
         "n_pairs": n, "real_sanity": ok_real / n_sanity,
-        "ctrl_acc": ctrl_ok / n, "follows_lyrics": fl, "follows_motion": fm,
+        "real_sanity_density": ok_real_d / n_sanity,
+        "ctrl_acc": ctrl_ok / n, "ctrl_acc_density": ctrl_ok_d / n,
+        "follows_lyrics": fl, "follows_motion": fm,
+        "follows_lyrics_density": fl_d, "follows_motion_density": fm_d,
+        "follows_both": joint,
         "p_vs_chance": p_chance, "p_vs_motion": p_vs_motion,
+        "p_density": p_chance_d, "p_joint": p_joint,
         "motion_margin": float(np.mean(dm)), "motion_wins": mwins,
-        "p_motion_axis": p_motion_axis, "ok": ok,
+        "p_motion_axis": p_motion_axis, "properties": props, "ok": ok,
     }))
-    print("VERDICT:", "LYRICS conditioning STEERS generation" if ok
+    print("VERDICT:", "LYRICS conditioning STEERS generation on "
+          + (f"{len(props)} independent channels" if want_density
+             else "the rate channel") if ok
           else "lyrics steering NOT demonstrated")
     return 0 if ok else 1
 

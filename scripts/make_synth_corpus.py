@@ -26,6 +26,14 @@ see ``scripts/lyric_swap_eval.py``. Phrases repeat across songs/splits by
 design: hashed embeddings carry no semantics, so the model can only
 memorize phrase->rate; held-out clips reuse trained phrases.
 
+Round 5 (VERDICT r4 #8): each phrase additionally controls the HARMONIC
+STACK DENSITY of its slice (sparse legacy 3-partial stack vs a dense
+5-partial stack, ``DENSITY_AMPS``), on a schedule independent of the rate
+bucket — so the text branch must carry two independent properties through
+cross-attention for a generation to match both. ``phrase_density`` is the
+label oracle; the mel readout is the above-fundamental power fraction
+(``lyric_swap_eval.harmonic_density_score``).
+
 Sized to the reference recipe (SURVEY §7 / VERDICT #4): 1868 clips ->
 split 0.7/0.2/0.1 -> 1308/374/186 (the reference's own 1246/356/178 came
 from 1780 files). Run: ``python scripts/make_synth_corpus.py <out_dir>
@@ -56,6 +64,19 @@ WORDS = ("echo", "river", "neon", "ember", "static", "velvet", "orbit",
 RATES = (1.0, 2.0, 4.0, 8.0)
 N_PHRASES = 32
 
+# Round 5 (VERDICT r4 #8): a SECOND, independent lyric-controlled property —
+# harmonic stack density. Phrase i carries (rate bucket i % 4, density
+# bucket (i // 4) % 2): over the 32-phrase pool the two buckets are
+# statistically independent, so a generation's (envelope rate, harmonic
+# density) pair reads out TWO independent channels of the text branch.
+# sparse = the legacy 3-partial stack; dense adds 4th/5th partials with a
+# much flatter rolloff. The melody f0 tops out at 2 kHz, so the 5th
+# harmonic (10 kHz) stays under the 11.025 kHz Nyquist.
+DENSITY_AMPS = (
+    (0.5, 0.2, 0.1, 0.0, 0.0),   # 0: sparse (legacy stack)
+    (0.5, 0.33, 0.28, 0.22, 0.18),  # 1: dense
+)
+
 
 def _phrase_pool():
     """Deterministic pool of lyric phrases; phrase i belongs to rate bucket
@@ -82,12 +103,24 @@ def phrase_bucket(text: str) -> int:
         return -1
 
 
+def phrase_density(text: str) -> int:
+    """Harmonic-density bucket of a corpus lyric phrase (-1 for foreign
+    text). Independent of ``phrase_bucket`` over the phrase pool."""
+    try:
+        return (PHRASES.index(text) // len(RATES)) % len(DENSITY_AMPS)
+    except ValueError:
+        return -1
+
+
 def make_song(rng: np.random.Generator, n_slices: int,
-              slice_rates=None):
+              slice_rates=None, slice_densities=None):
     """One song: audio (float32), melody line per motion frame, slice starts.
 
     ``slice_rates``: per-slice envelope beat rate in Hz (lyric-controlled);
     defaults to the legacy constant 4 Hz (sin^2(2*pi*2*t)) for all slices.
+    ``slice_densities``: per-slice harmonic-density bucket into
+    ``DENSITY_AMPS`` (the second lyric-controlled property); defaults to
+    the legacy sparse stack for all slices.
     """
     dur = n_slices * CLIP_S
     n_samp = int(dur * SR) + SR  # 1 s tail so the last slice is full-length
@@ -105,9 +138,24 @@ def make_song(rng: np.random.Generator, n_slices: int,
     frame_idx = np.minimum((t * FPS).astype(np.int64), n_frames - 1)
     f0 = 200.0 * (10.0 ** line[frame_idx])  # 200..2000 Hz, log spaced
     phase = 2.0 * np.pi * np.cumsum(f0) / SR
-    audio = (0.5 * np.sin(phase)
-             + 0.2 * np.sin(2.0 * phase)
-             + 0.1 * np.sin(3.0 * phase))
+    if slice_densities is None:
+        audio = (0.5 * np.sin(phase)
+                 + 0.2 * np.sin(2.0 * phase)
+                 + 0.1 * np.sin(3.0 * phase))
+    else:
+        # lyric-controlled per-slice partial amplitudes; ~20 ms boundary
+        # smoothing keeps density switches click-free (phase itself is
+        # continuous — only the partial weights move)
+        slice_idx_a = np.minimum((t / CLIP_S).astype(np.int64), n_slices - 1)
+        amp_table = np.asarray(DENSITY_AMPS, np.float32)
+        amps_t = amp_table[np.asarray(slice_densities, np.int64)[slice_idx_a]]
+        k_amp = np.ones(441, np.float32) / 441.0
+        amps_t = np.stack(
+            [np.convolve(amps_t[:, j], k_amp, mode="same")
+             for j in range(amps_t.shape[1])], axis=1)
+        audio = np.zeros(n_samp, np.float32)
+        for j in range(amps_t.shape[1]):
+            audio += amps_t[:, j] * np.sin((j + 1.0) * phase)
     # rhythmic amplitude envelope: per-slice lyric-controlled beat rate.
     # Integer rates + integer-second slice starts keep env continuous
     # (sin^2 == 0) at every boundary. The legacy (no slice_rates) path used
@@ -154,10 +202,15 @@ def main(out_dir: str, n_clips: int = 1868) -> None:
         song = os.path.join(year, f"song_{song_i:04d}")
         os.makedirs(song, exist_ok=True)
 
-        # lyric phrase per slice drives that slice's envelope beat rate
+        # lyric phrase per slice drives that slice's envelope beat rate AND
+        # its harmonic stack density (two independent text channels)
         phrase_ids = rng.integers(0, N_PHRASES, size=n_slices)
         slice_rates = [RATES[int(p) % len(RATES)] for p in phrase_ids]
-        audio, line, starts = make_song(rng, n_slices, slice_rates=slice_rates)
+        slice_densities = [(int(p) // len(RATES)) % len(DENSITY_AMPS)
+                           for p in phrase_ids]
+        audio, line, starts = make_song(rng, n_slices,
+                                        slice_rates=slice_rates,
+                                        slice_densities=slice_densities)
         write_wav(os.path.join(song, "audio.wav"), audio, SR)
 
         sliced = {}

@@ -15,7 +15,20 @@ Measurement discipline per DEVNOTES.md: chained scans, a value fetch to
 sync, distinct inputs per rep, variants interleaved round-robin and the
 first post-compile run discarded.
 
-Usage: python scripts/profile_train_levers.py [K] [reps]
+Round-5 additions (VERDICT r4 #5 — attribute the 1.9-2.1 ms/row
+batch-scaling margin): ``B`` is now an argument (run at 16 AND 32 and
+difference the per-row costs), plus two variants aimed at the bwd
+activation-traffic suspect:
+
+  remat   — rematerialize residual blocks in bwd (ModelConfig.remat): stored
+            activations shrink to block boundaries, bwd recomputes the
+            block forward — if the margin is activation HBM traffic, remat
+            trades it for FLOPs and the delta bounds the traffic share
+  fp32act — compute_dtype float32: doubles every activation's HBM footprint
+            (params stay fp32 either way); the bs-scaling of the delta
+            reads the per-row activation-traffic slope directly
+
+Usage: python scripts/profile_train_levers.py [K] [reps] [B]
 """
 
 import dataclasses
@@ -40,7 +53,8 @@ from lm2a_tpu.training.train_step import (  # noqa: E402
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-B, T, N = 16, 516, 64
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+T, N = 516, 64
 
 
 def build_variant(cfg: LM2AConfig):
@@ -53,7 +67,11 @@ def build_variant(cfg: LM2AConfig):
 
 
 def main():
+    import dataclasses as _dc
+
     base = LM2AConfig()
+    base = _dc.replace(base, train=_dc.replace(base.train, batch_size=B))
+    print(f"batch_size={B} K={K} reps={REPS}", flush=True)
     variants = {
         "base": base,
         "nodrop": dataclasses.replace(
@@ -68,6 +86,11 @@ def main():
         # matmuls might still pay at bs16.
         "foldattn": dataclasses.replace(
             base, model=dataclasses.replace(base.model, folded_attention=True)),
+        "remat": dataclasses.replace(
+            base, model=dataclasses.replace(base.model, remat=True)),
+        "fp32act": dataclasses.replace(
+            base, train=dataclasses.replace(
+                base.train, compute_dtype="float32")),
     }
 
     km, ko, kl = jax.random.split(jax.random.PRNGKey(1), 3)

@@ -250,3 +250,52 @@ class TestRunParamPrecedence:
         assert models.guidance_weight == 3.0
         steps, g = _resolve_run_params(models, None, None)
         assert steps == 16 and g == 3.0
+
+
+class TestStdCalibration:
+    def test_calibration_scales_z_std_and_preserves_mean(self, clip_npz,
+                                                         tmp_path):
+        """A checkpoint-carried std_calibration rescales each generated
+        clip about its own mean in z-space (round-5 VERDICT #3): generated
+        std scales by exactly r, the clip mean is untouched, and r=None
+        is a bit-exact no-op."""
+        denoiser = build_denoiser(CFG.model)
+        cond_proj = build_cond_projection(CFG.model)
+        state, _ = init_train_state(denoiser, cond_proj, CFG,
+                                    jax.random.key(0), seq_len=48)
+        ckpt_dir = str(tmp_path / "ck")
+        save_checkpoint(ckpt_dir, state, CFG, epoch=0, dataset_mean=-4.6,
+                        dataset_std=1.86,
+                        extra={"std_calibration": 1.5})
+        ckpt = os.path.join(ckpt_dir, "ckpt_step_0")
+
+        models = load_models(ckpt)
+        assert models.std_calibration == pytest.approx(1.5)
+        base = load_models(ckpt)
+        base.std_calibration = None
+
+        a = sample_from_npz(clip_npz, ckpt, str(tmp_path / "a"), steps=6,
+                            seed=3, save_png=False, models=models)
+        b = sample_from_npz(clip_npz, ckpt, str(tmp_path / "b"), steps=6,
+                            seed=3, save_png=False, models=base)
+        mel_c = np.load(a)["mel"].astype(np.float64)
+        mel_u = np.load(b)["mel"].astype(np.float64)
+        zc = (mel_c + 4.6) / 1.86
+        zu = (mel_u + 4.6) / 1.86
+        assert zc.mean() == pytest.approx(zu.mean(), abs=1e-5)
+        assert zc.std() / zu.std() == pytest.approx(1.5, rel=1e-4)
+
+    def test_batched_generation_calibrates_per_clip(self, orbax_ckpt,
+                                                    tmp_path):
+        from lm2a_tpu.inference.sample import _apply_std_calibration
+
+        models = load_models(orbax_ckpt)
+        models.std_calibration = 2.0
+        rng = np.random.default_rng(0)
+        z = rng.normal(size=(3, 48, 80)).astype(np.float32)
+        out = _apply_std_calibration(z, models)
+        for i in range(3):
+            np.testing.assert_allclose(out[i].mean(), z[i].mean(),
+                                       rtol=0, atol=1e-5)
+            np.testing.assert_allclose(out[i].std() / z[i].std(), 2.0,
+                                       rtol=1e-5)

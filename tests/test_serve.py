@@ -385,3 +385,35 @@ class TestServeLoop:
         a = np.load(resp_p[0]["out"])["mel"]
         b = np.load(resp_s[0]["out"])["mel"]
         np.testing.assert_array_equal(a, b)
+
+
+class TestNpzCompression:
+    def test_serve_writes_uncompressed_by_default(self, ckpt_dir, clip_npz,
+                                                  tmp_path):
+        """Serving writes plain np.savez npz (compression measured ~185 ms/
+        clip on a 1-core host — >50% of steady-state wall; round-5 serve
+        host-path profile). Per-request "compress": true restores the
+        reference's compressed artifact; both load identically."""
+        import zipfile
+
+        models = load_models(ckpt_dir)
+        out_u = str(tmp_path / "u")
+        out_c = str(tmp_path / "c")
+        served, resp = _run(models, [
+            {"npz": clip_npz, "steps": 4, "out_dir": out_u, "id": "u"},
+            {"npz": clip_npz, "steps": 4, "out_dir": out_c, "id": "c",
+             "compress": True, "seed": 0},
+        ])
+        assert served == 2 and all(r["ok"] for r in resp)
+        pu = [r for r in resp if r["id"] == "u"][0]["out"]
+        pc = [r for r in resp if r["id"] == "c"][0]["out"]
+        with zipfile.ZipFile(pu) as z:
+            assert all(i.compress_type == zipfile.ZIP_STORED
+                       for i in z.infolist())
+        with zipfile.ZipFile(pc) as z:
+            assert any(i.compress_type == zipfile.ZIP_DEFLATED
+                       for i in z.infolist())
+        du, dc = np.load(pu), np.load(pc)
+        assert du["mel"].shape == dc["mel"].shape == (80, 48)
+        assert np.isfinite(du["mel"]).all()
+        assert os.path.getsize(pu) > os.path.getsize(pc) * 0.5  # both real

@@ -108,3 +108,68 @@ def test_binom_tail_exact_values():
     assert abs(binom_tail(10, 10, 0.5) - 0.5**10) < 1e-12
     # monotone in k
     assert binom_tail(8, 10, 0.25) < binom_tail(2, 10, 0.25)
+
+
+# ---- harmonic-density classifier (round-5 second lyric channel) ----
+
+from scripts.lyric_swap_eval import (  # noqa: E402
+    classify_density,
+    harmonic_density_score,
+)
+from scripts.make_synth_corpus import (  # noqa: E402
+    CLIP_S,
+    SR,
+    make_song,
+    phrase_density,
+)
+
+
+def test_phrase_density_independent_of_rate():
+    assert {phrase_density(p) for p in PHRASES} == {0, 1}
+    # the 32-phrase pool covers the full (rate, density) factorial, so the
+    # two lyric channels are statistically independent across phrases
+    combos = {(phrase_bucket(p), phrase_density(p)) for p in PHRASES}
+    assert combos == {(r, d) for r in range(len(RATES)) for d in (0, 1)}
+    assert phrase_density("not a corpus phrase") == -1
+
+
+def test_density_classifier_on_synthesized_slices():
+    """End-to-end through the real mel op: sparse and dense slices of one
+    song classify correctly, at both rate extremes — and the RATE readout
+    is unaffected by density (channel independence)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lm2a_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    rates = [1.0, 8.0, 1.0, 8.0]
+    dens = [0, 0, 1, 1]
+    audio, _, starts = make_song(rng, 4, slice_rates=rates,
+                                 slice_densities=dens)
+    cfg = MelConfig()
+    for i, st in enumerate(starts):
+        seg = audio[int(st * SR):int((st + CLIP_S) * SR)]
+        mel = np.asarray(mel_spectrogram(seg, cfg))
+        if mel.shape[0] != 80:
+            mel = mel.T
+        score = harmonic_density_score(mel)
+        assert classify_density(mel) == dens[i], (i, score)
+        assert classify_rate(mel) == {1.0: 0, 8.0: 3}[rates[i]], i
+
+
+def test_legacy_density_default_reads_sparse():
+    """No slice_densities (pre-round-5 corpora) must still produce the
+    legacy sparse stack."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from lm2a_tpu.ops.mel import MelConfig, mel_spectrogram
+
+    rng = np.random.default_rng(1)
+    audio, _, starts = make_song(rng, 2, slice_rates=[2.0, 4.0])
+    seg = audio[:int(CLIP_S * SR)]
+    mel = np.asarray(mel_spectrogram(seg, MelConfig()))
+    if mel.shape[0] != 80:
+        mel = mel.T
+    assert classify_density(mel) == 0
