@@ -28,7 +28,10 @@ activation-traffic suspect:
             (params stay fp32 either way); the bs-scaling of the delta
             reads the per-row activation-traffic slope directly
 
-Usage: python scripts/profile_train_levers.py [K] [reps] [B]
+Usage: python scripts/profile_train_levers.py [K] [reps] [B] [variants]
+``variants``: comma list to run (default all); ``base`` is always included.
+Cold compiles through the relay cost minutes per program — trim the set
+when only some knobs are in question (e.g. ``base,nodrop,remat,fp32act``).
 """
 
 import dataclasses
@@ -54,6 +57,7 @@ from lm2a_tpu.training.train_step import (  # noqa: E402
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 T, N = 516, 64
 
 
@@ -92,6 +96,9 @@ def main():
             base, train=dataclasses.replace(
                 base.train, compute_dtype="float32")),
     }
+    if ONLY is not None:
+        variants = {k: v for k, v in variants.items()
+                    if k == "base" or k in ONLY}
 
     km, ko, kl = jax.random.split(jax.random.PRNGKey(1), 3)
     data = {
@@ -142,11 +149,12 @@ def main():
             print(f"  {name:>8}: {ms:8.2f} ms/step  "
                   f"[{', '.join(f'{t/K*1e3:.2f}' for t in times[name])}]",
                   flush=True)
-        times["rbg"] = measure("rbg", base, "rbg", cycle)
-        ms = sorted(times["rbg"])[len(times["rbg"]) // 2] / K * 1e3
-        print(f"  {'rbg':>8}: {ms:8.2f} ms/step  "
-              f"[{', '.join(f'{t/K*1e3:.2f}' for t in times['rbg'])}]",
-              flush=True)
+        if ONLY is None or "rbg" in ONLY:
+            times["rbg"] = measure("rbg", base, "rbg", cycle)
+            ms = sorted(times["rbg"])[len(times["rbg"]) // 2] / K * 1e3
+            print(f"  {'rbg':>8}: {ms:8.2f} ms/step  "
+                  f"[{', '.join(f'{t/K*1e3:.2f}' for t in times['rbg'])}]",
+                  flush=True)
 
     base_ms = sorted(times["base"])[len(times["base"]) // 2] / K * 1e3
     print(f"\ncycle-2 deltas vs base ({base_ms:.2f} ms):")
