@@ -30,7 +30,7 @@ for N in 50 25 12 8; do
   run python -m lm2a_tpu.cli distill --teacher "$TEACHER" --npz_dir $PACK \
       --save_dir $OUT/distill_$N --student_steps $N \
       --steps_per_stage 600 --steps_per_call 25 --batch_size 16 \
-      --save_interval 300
+      --save_interval 600
   run python scripts/eval_distilled.py $OUT/distill_$N/ckpt_step_600 $TEST 6
 done
 
